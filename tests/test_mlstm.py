@@ -1,0 +1,74 @@
+"""mLSTM kernel tests: chunkwise scan must reproduce the quadratic oracle
+(the port of the reference math, vision_lstm.py:48-130) to fp32 tolerance."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xlstm_hved_tpu.ops.mlstm import mlstm_chunkwise, mlstm_quadratic
+
+
+def _rand_inputs(key, B=2, NH=3, S=97, DH=16, dtype=jnp.float32):
+    ks = jax.random.split(key, 5)
+    q = jax.random.normal(ks[0], (B, NH, S, DH), dtype)
+    k = jax.random.normal(ks[1], (B, NH, S, DH), dtype)
+    v = jax.random.normal(ks[2], (B, NH, S, DH), dtype)
+    # Realistic gate ranges: fgate bias init ~3..6, igate ~N(0, 0.1).
+    ig = jax.random.normal(ks[3], (B, NH, S), jnp.float32) * 0.5
+    fg = 3.0 + 3.0 * jax.random.uniform(ks[4], (B, NH, S), jnp.float32)
+    return q, k, v, ig, fg
+
+
+@pytest.mark.parametrize("S,L", [(64, 16), (97, 32), (128, 128), (130, 64)])
+def test_chunkwise_matches_quadratic(rng, S, L):
+    q, k, v, ig, fg = _rand_inputs(rng, S=S)
+    ref = mlstm_quadratic(q, k, v, ig, fg)
+    out = mlstm_chunkwise(q, k, v, ig, fg, chunk_size=L)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=5e-4)
+
+
+def test_chunkwise_extreme_gates(rng):
+    # Strongly negative forget gates (fast decay) and large igates.
+    q, k, v, ig, fg = _rand_inputs(rng, S=80)
+    ig = ig * 10.0
+    fg = fg - 12.0
+    ref = mlstm_quadratic(q, k, v, ig, fg)
+    out = mlstm_chunkwise(q, k, v, ig, fg, chunk_size=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=5e-4)
+
+
+def test_chunkwise_bf16_io_close(rng):
+    q, k, v, ig, fg = _rand_inputs(rng, S=64)
+    ref = mlstm_chunkwise(q, k, v, ig, fg, chunk_size=32)
+    out = mlstm_chunkwise(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        ig, fg, chunk_size=32,
+    )
+    # bf16 inputs, fp32 gate math: loose elementwise agreement.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.05, rtol=0.1)
+
+
+def test_chunkwise_grads_finite(rng):
+    q, k, v, ig, fg = _rand_inputs(rng, B=1, NH=2, S=48, DH=8)
+
+    def loss(args):
+        return jnp.sum(mlstm_chunkwise(*args, chunk_size=16) ** 2)
+
+    g = jax.grad(loss)((q, k, v, ig, fg))
+    for arr in jax.tree_util.tree_leaves(g):
+        assert np.all(np.isfinite(np.asarray(arr)))
+
+
+def test_gradient_matches_quadratic(rng):
+    q, k, v, ig, fg = _rand_inputs(rng, B=1, NH=1, S=40, DH=8)
+
+    def l_ref(args):
+        return jnp.sum(jnp.sin(mlstm_quadratic(*args)))
+
+    def l_chunk(args):
+        return jnp.sum(jnp.sin(mlstm_chunkwise(*args, chunk_size=16)))
+
+    g_ref = jax.grad(l_ref)((q, k, v, ig, fg))
+    g_chk = jax.grad(l_chunk)((q, k, v, ig, fg))
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_chk)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-3)

@@ -1,0 +1,355 @@
+"""The HVED fusion engine — TPU-native re-design of AbstractFusion3DUNet
+(/root/reference/RA_HVED.py:239-687) with its coupled decoders
+(ReconDecoder :16-95, Seg_Recon_DuSFEDecoder :97-201) and the PatchGAN
+Discriminator (:204-236).
+
+Key structural departures from the reference (capability parity, not
+structure parity):
+- channels-last NDHWC everywhere; modality streams are a stacked leading axis
+  mapped with nn.vmap instead of 4 module copies;
+- subset selection is a boolean keep-mask, PoE is the masked product
+  (ops/poe.py) — no data-dependent shapes under jit;
+- ZeroLayerF drop semantics come from constant-mask multiplication;
+- the mLSTM runs as a chunkwise scan (ops/mlstm.py) instead of materializing
+  the (S, S) decay matrix;
+- reparameterization noise comes from an explicit 'latent' PRNG collection.
+
+Forward contract (matching /root/reference/RA_HVED.py:510-687): the model
+takes the stacked 4-modality volume, a modality keep-mask (batch- or
+per-instance), and flags seg/recon/deterministic; it returns an HVEDOutput
+with seg probabilities, per-level expert (mu, logvar) stacks, and the shared
+4-channel reconstruction.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from xlstm_hved_tpu.config import HVEDConfig
+from xlstm_hved_tpu.nn.blocks import (
+    BasicConv,
+    DecoderStage,
+    EncoderStage,
+    SingleConv,
+    instance_norm,
+    resize_trilinear,
+)
+from xlstm_hved_tpu.nn.dusfe import DuSEAttention
+from xlstm_hved_tpu.nn.gates import DiscriminatorBlock, FusionModule
+from xlstm_hved_tpu.nn.skr import SkrGate
+from xlstm_hved_tpu.nn.vil import ViLLayer3D
+from xlstm_hved_tpu.ops.poe import product_of_experts, reparametrize, stack_prior
+
+
+class HVEDOutput(NamedTuple):
+    seg: Optional[jnp.ndarray]            # (B, D, H, W, 3) probabilities
+    mu: Tuple[jnp.ndarray, ...]           # per level (B, 5, D', H', W', C)
+    logvar: Tuple[jnp.ndarray, ...]
+    recon: Optional[jnp.ndarray]          # (B, D, H, W, 4)
+
+
+def _vmap_streams(module_cls):
+    """Lift a module over the leading modality-stream axis with independent
+    parameters per stream (replaces the reference's ModuleList of copies)."""
+    return nn.vmap(
+        module_cls,
+        in_axes=0,
+        out_axes=0,
+        variable_axes={"params": 0, "batch_stats": 0},
+        split_rngs={"params": True},
+    )
+
+
+class HVEDFusionNet(nn.Module):
+    cfg: HVEDConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,                      # (B, D, H, W, M)
+        keep: Optional[jnp.ndarray] = None,  # (4,) or (B, 4) bool, True=present
+        *,
+        instance_missing: bool = False,
+        seg: bool = True,
+        recon: bool = False,
+        deterministic: bool = False,
+        train: bool = False,
+    ) -> HVEDOutput:
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        M = cfg.multi_stream
+        B = x.shape[0]
+        levels = cfg.num_levels
+        enc_f = list(cfg.enc_f_maps)
+        dec_f = list(cfg.dec_f_maps)
+        latents = list(cfg.mvae_latents)
+
+        if keep is None:
+            if instance_missing:
+                # infer per-instance presence from all-zero channels
+                # (/root/reference/RA_HVED.py:513-515)
+                keep = jnp.sum(jnp.abs(x), axis=(1, 2, 3)) != 0  # (B, M)
+            else:
+                keep = jnp.ones((M,), dtype=bool)
+        keep = keep.astype(bool)
+        if keep.ndim == 1:
+            keep_b = jnp.broadcast_to(keep[None, :], (B, M))
+        else:
+            keep_b = keep
+
+        x_in = x.astype(dtype)
+        x0 = x_in
+        # streams: (M, B, D, H, W, 1)
+        xs = jnp.moveaxis(x_in, -1, 0)[..., None]
+
+        # The Initial Block: per-stream 1x1 conv (RA_HVED.py:345-349).
+        xs = _vmap_streams(nn.Conv)(
+            enc_f[0], kernel_size=(1, 1, 1), dtype=dtype, name="init_blocks"
+        )(xs)
+
+        mu_list, logvar_list = [], []
+        rec_feats = []  # deep -> shallow after final insert-order
+        seg_feats_nonmvae = []
+        skr_feat = None
+        rng_needed = cfg.mvae and not deterministic
+        latent_key = self.make_rng("latent") if rng_needed else None
+
+        for level in range(levels):
+            multistream_level = level <= cfg.fusion_level - 1
+            if multistream_level:
+                # skip-return gating of every stream (RA_HVED.py:549-552)
+                if cfg.skip_return and skr_feat is not None:
+                    gate = SkrGate(skr_feat.shape[-1], dtype=dtype,
+                                   name=f"skr_att_{level}")(skr_feat, train=train)
+                    xs = gate[None] * xs + xs
+
+                xs = _vmap_streams(EncoderStage)(
+                    features=enc_f[level],
+                    num_block=cfg.num_block[level],
+                    apply_pooling=level > 0,
+                    basic_module=cfg.basic_module,
+                    order=cfg.layer_order,
+                    num_groups=cfg.num_groups,
+                    dtype=dtype,
+                    name=f"encoders_{level}",
+                )(xs, train=train)
+
+                if cfg.fusion:
+                    feats = [xs[m] * keep_b[:, m, None, None, None, None].astype(dtype)
+                             for m in range(M)]
+                    fused, gated = FusionModule(
+                        dec_f[level], mode="modal", in_modalities=M,
+                        dtype=dtype, name=f"fusion_{level}",
+                    )(feats)
+                    rec_feats.insert(0, fused)
+                    seg_feats_nonmvae.insert(0, feats)
+                elif cfg.mvae:
+                    if cfg.mvae_reduction:
+                        drb = _vmap_streams(SingleConv)(
+                            features=2 * latents[level],
+                            kernel_size=3, stride=2, order=cfg.layer_order,
+                            num_groups=cfg.num_groups, dtype=dtype,
+                            name=f"drb_{level}",
+                        )(xs, train=train)
+                    else:
+                        drb = xs  # latent params come straight off the encoder
+                    # (M, B, ..., 2L) -> (B, M, ..., L) each
+                    drb = jnp.moveaxis(drb, 0, 1)
+                    mod_mu = drb[..., : latents[level]]
+                    mod_logvar = drb[..., latents[level]:]
+                    mu_e, logvar_e = stack_prior(
+                        mod_mu.astype(jnp.float32), mod_logvar.astype(jnp.float32))
+                    mu_list.append(mu_e)
+                    logvar_list.append(logvar_e)
+
+                    pd_mu, pd_logvar = product_of_experts(mu_e, logvar_e, keep_b)
+                    if rng_needed:
+                        sub_key = jax.random.fold_in(latent_key, level)
+                    else:
+                        sub_key = None
+                    z = reparametrize(sub_key, pd_mu, pd_logvar,
+                                      deterministic=deterministic)
+                    z = z.astype(dtype)
+                    if cfg.mvae_reduction:
+                        # VU: 1x1 conv -> x2 trilinear -> depthwise conv
+                        # (RA_HVED.py:401-410, 598-603)
+                        z = BasicConv(dec_f[level], 1, dtype=dtype,
+                                      name=f"vu_{level}")(z)
+                        d, h, w = z.shape[1:4]
+                        z = resize_trilinear(z, (2 * d, 2 * h, 2 * w))
+                        z = BasicConv(dec_f[level], 3, groups=dec_f[level],
+                                      dtype=dtype, name=f"conv_block_{level}")(z)
+                    rec_feats.insert(0, z)
+                else:
+                    # plain multi-stream concat (kept for completeness)
+                    feats = [xs[m] * keep_b[:, m, None, None, None, None].astype(dtype)
+                             for m in range(M)]
+                    rec_feats.insert(0, jnp.concatenate(feats, axis=-1))
+                    seg_feats_nonmvae.insert(0, feats)
+
+                # skip-return feature chain update (RA_HVED.py:617-621):
+                # level 0 initializes from the raw input via x0_init; each
+                # later level advances the chain with its own pooled encoder
+                # (E1: 4->8, E2: 8->16, E3: 16->32 for the flagship).
+                if cfg.skip_return:
+                    if skr_feat is None:
+                        skr_feat = nn.Conv(enc_f[0], (1, 1, 1), dtype=dtype,
+                                           name="x0_init")(x0)
+                    else:
+                        skr_feat = EncoderStage(
+                            features=enc_f[level],
+                            num_block=cfg.num_block[level],
+                            apply_pooling=True,
+                            basic_module=cfg.basic_module,
+                            order=cfg.layer_order,
+                            num_groups=cfg.num_groups,
+                            dtype=dtype,
+                            name=f"skr_encoder_{level}",
+                        )(skr_feat, train=train)
+            else:
+                # single-stream deeper levels (fusion_level < num_levels)
+                top = rec_feats[0]
+                top = EncoderStage(
+                    features=dec_f[level],
+                    num_block=cfg.num_block[level],
+                    apply_pooling=True,
+                    basic_module=cfg.basic_module,
+                    order=cfg.layer_order,
+                    num_groups=cfg.num_groups,
+                    dtype=dtype,
+                    name=f"encoders_{level}",
+                )(top, train=train)
+                rec_feats.insert(0, top)
+
+        # mid-ViL over bottleneck tokens (+skr) (RA_HVED.py:623-626).
+        # NOTE: the reference only applies mViL when skip_return is also on;
+        # with mid_vil and no skr the constructed mViL is dead code there. We
+        # apply it on the bottleneck alone in that case (intended semantics;
+        # documented deviation).
+        if cfg.mvae and cfg.mid_vil:
+            if cfg.skip_return and skr_feat is not None:
+                vil_in = rec_feats[0] + skr_feat
+            else:
+                vil_in = rec_feats[0]
+            rec_feats[0] = rec_feats[0] + ViLLayer3D(
+                dim=dec_f[-1], chunk_size=cfg.vil_chunk_size, name="mvil"
+            )(vil_in).astype(dtype)
+
+        mu_t = tuple(mu_list)
+        logvar_t = tuple(logvar_list)
+
+        bottleneck = rec_feats[0]
+        skips = rec_feats[1:]
+        rev_dec = list(reversed(dec_f))
+        n_dec = levels - 1
+        rec_streams = 1 if cfg.shared_recon else M
+        rec_last = M if cfg.shared_recon else 1
+
+        def seg_decoder_stage(j):
+            basic = ("double_conv_vil" if cfg.vil_decoder and j < 1
+                     else cfg.basic_module)
+            return DecoderStage(
+                features=rev_dec[j + 1], basic_module=basic,
+                order=cfg.layer_order, num_groups=cfg.num_groups,
+                rsm=cfg.mvae, mvae=cfg.mvae, dtype=dtype,
+                name=f"sdecoder_{j}")
+
+        def rec_decoder_stage(m, j):
+            return DecoderStage(
+                features=rev_dec[j + 1], basic_module=cfg.basic_module,
+                order=cfg.layer_order, num_groups=cfg.num_groups,
+                rsm=False, dtype=dtype, name=f"rdecoder_{m}_{j}")
+
+        seg_out = None
+        recon_out = None
+
+        if cfg.seg_recon_decoder:
+            # coupled seg+recon decode with DuSE cross-talk per level
+            # (Seg_Recon_DuSFEDecoder, RA_HVED.py:97-201)
+            for m in range(rec_streams):
+                rx, sx = bottleneck, bottleneck
+                for j in range(n_dec):
+                    rx = rec_decoder_stage(m, j)(skips[j], rx, train=train)
+                    if seg:
+                        sx = seg_decoder_stage(j)(skips[j], sx, train=train)
+                        if j <= 2:
+                            rx, sx = DuSEAttention(
+                                rev_dec[j + 1], dtype=dtype,
+                                name=f"dusfe_{j}")(rx, sx, train=train)
+                r_final = nn.Conv(rec_last, (1, 1, 1), dtype=dtype,
+                                  name=f"rfinal_{m}")(rx)
+                recon_out = r_final if recon_out is None else jnp.concatenate(
+                    [recon_out, r_final], axis=-1)
+            if seg:
+                s_head = nn.Conv(rec_last, (1, 1, 1), dtype=dtype,
+                                 name="sfinal_0")(sx)
+                logits = nn.Conv(cfg.out_channels, (1, 1, 1), dtype=dtype,
+                                 name="final_conv")(s_head)
+                seg_out = (nn.sigmoid(logits) if cfg.final_sigmoid
+                           else nn.softmax(logits, axis=-1)).astype(jnp.float32)
+            if not (recon and cfg.recon_decoder):
+                recon_out = None
+            else:
+                recon_out = recon_out.astype(jnp.float32)
+            return HVEDOutput(seg_out, mu_t, logvar_t, recon_out)
+
+        # plain recon decoder (ReconDecoder, RA_HVED.py:16-95). Always traced
+        # so its params exist regardless of the recon flag (the reference
+        # constructs rdecoder in __init__); XLA prunes the computation when
+        # the output is unused.
+        if cfg.recon_decoder:
+            parts = []
+            for m in range(rec_streams):
+                rx = bottleneck
+                for j in range(n_dec):
+                    skip_j = skips[j] if cfg.recon_skip else None
+                    up = None if cfg.recon_skip else tuple(
+                        s * 2 for s in rx.shape[1:4])
+                    rx = rec_decoder_stage(m, j)(skip_j, rx, up_size=up,
+                                                 train=train)
+                parts.append(nn.Conv(rec_last, (1, 1, 1), dtype=dtype,
+                                     name=f"rfinal_{m}")(rx))
+            if recon:
+                recon_out = jnp.concatenate(parts, axis=-1).astype(jnp.float32)
+
+        # plain seg decoder path
+        if seg:
+            sx = bottleneck if cfg.mvae or cfg.fusion else None
+            if sx is None:
+                # non-MVAE non-fusion: concat streams (legacy path)
+                sx = bottleneck
+            skip_src = skips if cfg.mvae or not cfg.fusion else seg_feats_nonmvae[1:]
+            for j in range(n_dec):
+                sx = seg_decoder_stage(j)(skip_src[j], sx, train=train)
+            logits = nn.Conv(cfg.out_channels, (1, 1, 1), dtype=dtype,
+                             name="final_conv")(sx)
+            seg_out = (nn.sigmoid(logits) if cfg.final_sigmoid
+                       else nn.softmax(logits, axis=-1)).astype(jnp.float32)
+
+        return HVEDOutput(seg_out, mu_t, logvar_t, recon_out)
+
+
+class Discriminator(nn.Module):
+    """PatchGAN-style 3D conv discriminator on concat(seg, attention-weighted
+    recon) (reference Discriminator, RA_HVED.py:204-236; blocks
+    buildingblocks.py:342-358)."""
+
+    f_maps: int = 64
+    kernel: int = 4
+    num_levels: int = 4
+    strides: Tuple[int, ...] = (1, 2, 2, 2)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feats = [self.f_maps * (2 ** i) for i in range(self.num_levels)]
+        for i, f in enumerate(feats):
+            x = DiscriminatorBlock(
+                f, kernel=self.kernel, stride=self.strides[i],
+                normalize=i > 0, dtype=self.dtype, name=f"block{i}")(x)
+        x = nn.Conv(1, (self.kernel,) * 3, padding=((1, 1),) * 3,
+                    use_bias=False, dtype=self.dtype, name="last")(x)
+        return x

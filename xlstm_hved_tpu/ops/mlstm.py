@@ -1,0 +1,172 @@
+"""mLSTM cell — quadratic oracle and chunkwise (linear-in-S) scan.
+
+The reference's hottest kernel is `parallel_stabilized_simple`
+(/root/reference/UxLSTM/nnunetv2/nets/vision_lstm.py:48-130): an O(S^2)
+materialized-matrix form of the mLSTM that builds an (S, S) log-decay matrix
+per head. At the flagship's bottleneck S = 6144 this materializes ~600 MB of
+intermediates. Because the mLSTM is a linear recurrence, the same math
+decomposes exactly into a chunkwise parallel scan: quadratic only within an
+L-sized chunk, with an (DH x DH) state + (DH,) normalizer + scalar max-tracker
+carried across chunks. That is the TPU-native formulation implemented here
+(`mlstm_chunkwise`) and in the fused Pallas kernel (ops/mlstm_pallas.py).
+
+Math (deriving the exact reference semantics, 0-indexed positions):
+    lf_t  = logsigmoid(fgate_preact_t)
+    logw(t, j) = sum_{u=j+1..t} lf_u + i_j          (j <= t)
+    m_t   = max_{j<=t} logw(t, j)                    (rowwise stabilizer)
+    C(t, j) = exp(logw(t, j) - m_t) * (q_t . k_j) / sqrt(DH)
+    h_t   = sum_j C(t, j) v_j / (max(|sum_j C(t, j)|, exp(-m_t)) + eps)
+
+Chunk decomposition with local log-forget cumsum A_p (inclusive) and
+s_p = i_p - A_p:
+    carried state after chunk c:  m*, C* = sum_j e^{w_j - m*} k_j v_j^T,
+                                  n* = sum_j e^{w_j - m*} k_j
+    row t (local p):  M_p = max(m*, cummax_{p'<=p} s_{p'}),  m_t = A_p + M_p
+        num_t   = e^{m* - M_p} (q_t/sqrt(DH)) C*  + sum_{p'<=p} e^{s_{p'} - M_p} attn(t,p') v_{p'}
+        rowsum_t= e^{m* - M_p} (q_t . n*)/sqrt(DH) + sum_{p'<=p} e^{s_{p'} - M_p} attn(t,p')
+    state update:  M' = max(m*, max_p s_p);  m*' = A_{L-1} + M'
+        C*' = e^{m* - M'} C* + sum_p e^{s_p - M'} k_p v_p^T   (n*' likewise)
+
+All gate/stabilizer math is fp32; q/k/v matmuls accumulate in fp32.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+MLSTM_EPS = 1e-6
+
+
+def _log_sigmoid(x):
+    return -jax.nn.softplus(-x)
+
+
+def mlstm_quadratic(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    igate: jnp.ndarray,
+    fgate: jnp.ndarray,
+    eps: float = MLSTM_EPS,
+) -> jnp.ndarray:
+    """O(S^2) reference form (test oracle; fine for small S).
+
+    Args:
+        q, k, v: (B, NH, S, DH)
+        igate, fgate: (B, NH, S) gate pre-activations.
+    Returns:
+        (B, NH, S, DH) h_tilde.
+    """
+    B, NH, S, DH = q.shape
+    dtype = jnp.float32
+    q, k, v = q.astype(dtype), k.astype(dtype), v.astype(dtype)
+    lf = _log_sigmoid(fgate.astype(dtype))  # (B, NH, S)
+    csum = jnp.cumsum(lf, axis=-1)  # inclusive
+    # logw(t, j) = csum[t] - csum[j] + i[j] for j <= t
+    logw = csum[..., :, None] - csum[..., None, :] + igate.astype(dtype)[..., None, :]
+    ltr = jnp.tril(jnp.ones((S, S), dtype=bool))
+    logw = jnp.where(ltr, logw, -jnp.inf)
+    max_log = jnp.max(logw, axis=-1, keepdims=True)  # (B, NH, S, 1)
+    d_mat = jnp.exp(logw - max_log)
+    qk = jnp.einsum("bhsd,bhtd->bhst", q, k / jnp.sqrt(DH))
+    c_mat = qk * d_mat
+    rowsum = jnp.sum(c_mat, axis=-1, keepdims=True)
+    normalizer = jnp.maximum(jnp.abs(rowsum), jnp.exp(-max_log)) + eps
+    return jnp.einsum("bhst,bhtd->bhsd", c_mat / normalizer, v)
+
+
+def _chunk_scan_body(carry, inp, *, eps: float):
+    """Per-chunk body: quadratic intra-chunk + carried-state inter-chunk."""
+    c_state, n_state, m_state = carry  # (DH, DH), (DH,), ()
+    q, k, v, igate, lf = inp  # (L, DH), (L, DH), (L, DH), (L,), (L,)
+    L, DH = q.shape
+    scale = 1.0 / jnp.sqrt(DH)
+
+    a = jnp.cumsum(lf)  # (L,) inclusive local log-forget cumsum
+    s = igate - a  # (L,)
+    m_local = jnp.maximum(jnp.maximum.accumulate(s), m_state)  # (L,) = M_p
+    # Intra-chunk decay matrix: exp(s_j - M_t), causal.
+    dec = jnp.exp(s[None, :] - m_local[:, None])
+    dec = jnp.where(jnp.tril(jnp.ones((L, L), dtype=bool)), dec, 0.0)
+    qk = (q * scale) @ k.T  # (L, L) fp32
+    attn = qk * dec
+
+    inter_w = jnp.exp(m_state - m_local)[:, None]  # (L, 1)
+    num = attn @ v + inter_w * ((q * scale) @ c_state)
+    rowsum = jnp.sum(attn, axis=1, keepdims=True) + inter_w * ((q * scale) @ n_state)[
+        :, None
+    ]
+    max_log = a + m_local  # true rowwise stabilizer m_t
+    denom = jnp.maximum(jnp.abs(rowsum), jnp.exp(-max_log)[:, None]) + eps
+    h = num / denom
+
+    # State update to the end of this chunk.
+    m_new = jnp.maximum(m_state, jnp.max(s))
+    kv_w = jnp.exp(s - m_new)[:, None]  # (L, 1)
+    decay_old = jnp.exp(m_state - m_new)
+    c_state = decay_old * c_state + (k * kv_w).T @ v
+    n_state = decay_old * n_state + jnp.sum(k * kv_w, axis=0)
+    m_state = a[-1] + m_new
+    return (c_state, n_state, m_state), h
+
+
+def mlstm_chunkwise(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    igate: jnp.ndarray,
+    fgate: jnp.ndarray,
+    chunk_size: int = 128,
+    eps: float = MLSTM_EPS,
+    use_remat: bool = True,
+) -> jnp.ndarray:
+    """Linear-in-S chunkwise mLSTM, numerically identical to
+    `mlstm_quadratic` (up to fp assoc.) with O(S*L + DH^2) memory.
+
+    Args:
+        q, k, v: (B, NH, S, DH); igate/fgate: (B, NH, S).
+    Returns:
+        (B, NH, S, DH) in fp32.
+    """
+    B, NH, S, DH = q.shape
+    L = min(chunk_size, S)
+    pad = (-S) % L
+    if pad:
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        # Padded keys must contribute nothing: igate -> -inf-ish.
+        ip = jnp.pad(igate, ((0, 0), (0, 0), (0, pad)), constant_values=-1e30)
+        fp = jnp.pad(fgate, ((0, 0), (0, 0), (0, pad)))
+    else:
+        qp, kp, vp, ip, fp = q, k, v, igate, fgate
+    Sp = S + pad
+    nchunks = Sp // L
+
+    f32 = jnp.float32
+    lf = _log_sigmoid(fp.astype(f32))
+
+    def per_head(qh, kh, vh, ih, lfh):
+        # (Sp, DH) -> chunked (nchunks, L, DH)
+        qc = qh.reshape(nchunks, L, DH).astype(f32)
+        kc = kh.reshape(nchunks, L, DH).astype(f32)
+        vc = vh.reshape(nchunks, L, DH).astype(f32)
+        ic = ih.reshape(nchunks, L).astype(f32)
+        lfc = lfh.reshape(nchunks, L)
+        init = (
+            jnp.zeros((DH, DH), f32),
+            jnp.zeros((DH,), f32),
+            jnp.float32(-jnp.inf),
+        )
+        body = functools.partial(_chunk_scan_body, eps=eps)
+        if use_remat:
+            body = jax.checkpoint(body)
+        _, h = jax.lax.scan(body, init, (qc, kc, vc, ic, lfc))
+        return h.reshape(Sp, DH)
+
+    flat = lambda x: x.reshape((B * NH,) + x.shape[2:])
+    h = jax.vmap(per_head)(flat(qp), flat(kp), flat(vp), flat(ip), flat(lf))
+    h = h.reshape(B, NH, Sp, DH)
+    return h[:, :, :S]
