@@ -1,19 +1,16 @@
 """Test configuration: force CPU with 8 virtual devices so distributed tests
-run anywhere (SURVEY.md §4 'distributed without a cluster'), with fixed seeds.
-Must set env vars before jax is imported anywhere in the test process.
+run anywhere (SURVEY.md §4 'distributed without a cluster') with fixed seeds.
+
+NOTE: this container's sitecustomize imports jax at interpreter startup (the
+axon TPU relay), so env vars like JAX_PLATFORMS/XLA_FLAGS set here are
+already latched — jax.config.update still works because backends initialize
+lazily.
 """
-import os
+import jax
+import pytest
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import jax  # noqa: E402
-import pytest  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
 
 

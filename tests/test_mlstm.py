@@ -72,3 +72,45 @@ def test_gradient_matches_quadratic(rng):
     g_chk = jax.grad(l_chunk)((q, k, v, ig, fg))
     for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_chk)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-3)
+
+
+def test_pallas_interpret_matches_fp64(rng):
+    """The Pallas kernel (interpret mode on CPU) vs an fp64 numpy oracle of
+    the reference quadratic form."""
+    from xlstm_hved_tpu.ops.mlstm_pallas import mlstm_pallas
+
+    B, NH, S, DH = 1, 2, 80, 16
+    q, k, v, ig, fg = _rand_inputs(rng, B=B, NH=NH, S=S, DH=DH)
+    out = mlstm_pallas(q, k, v, ig, fg, 32, 1e-6, True)
+
+    qn, kn, vn = (np.asarray(t, np.float64) for t in (q, k, v))
+    ign, fgn = np.asarray(ig, np.float64), np.asarray(fg, np.float64)
+    lf = -np.logaddexp(0, -fgn)
+    a = np.cumsum(lf, axis=-1)
+    logw = a[..., :, None] - a[..., None, :] + ign[..., None, :]
+    logw = np.where(np.tril(np.ones((S, S), bool)), logw, -np.inf)
+    m = logw.max(-1)
+    dmat = np.exp(logw - m[..., None])
+    qk = np.einsum("bhsd,bhtd->bhst", qn / np.sqrt(DH), kn)
+    c = qk * dmat
+    den = np.maximum(np.abs(c.sum(-1)), np.exp(-m)) + 1e-6
+    ref = np.einsum("bhst,bhtd->bhsd", c / den[..., None], vn)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
+
+
+def test_pallas_gradients_via_vjp(rng):
+    from xlstm_hved_tpu.ops.mlstm_pallas import mlstm_pallas
+
+    q, k, v, ig, fg = _rand_inputs(rng, B=1, NH=1, S=32, DH=8)
+
+    def l_pal(args):
+        return jnp.sum(jnp.sin(mlstm_pallas(*args, 16, 1e-6, True)))
+
+    def l_scan(args):
+        return jnp.sum(jnp.sin(mlstm_chunkwise(*args, chunk_size=16)))
+
+    g_p = jax.grad(l_pal)((q, k, v, ig, fg))
+    g_s = jax.grad(l_scan)((q, k, v, ig, fg))
+    for a, b in zip(jax.tree_util.tree_leaves(g_p), jax.tree_util.tree_leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-3)

@@ -1,0 +1,67 @@
+"""Tests for the auxiliary model families: U-HeMIS, VisionLSTM classifiers,
+deformable conv."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_uhemis_forward_and_drop(rng):
+    from xlstm_hved_tpu.models.hemis import UHeMIS
+
+    model = UHeMIS(num_cls=3, n_base=4, final_sigmoid=True)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 16, 4),
+                    jnp.float32)
+    params = jax.jit(model.init)(rng, x)
+    seg, recon = jax.jit(model.apply)(params, x)
+    assert seg.shape == (1, 16, 16, 16, 3)
+    assert recon.shape == (1, 16, 16, 16, 4)
+    # zeroed modality input == explicit keep mask
+    x_missing = x.at[..., 2].set(0.0)
+    s1, _ = jax.jit(model.apply)(params, x_missing)
+    s2, _ = jax.jit(lambda p, x, k: model.apply(p, x, keep=k))(
+        params, x_missing, jnp.asarray([True, True, False, True]))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+
+
+def test_vision_lstm_3d_classifier(rng):
+    from xlstm_hved_tpu.models.vision_lstm import VisionLSTM3D
+
+    model = VisionLSTM3D(dim=16, depth=2, num_classes=5, patch_size=4)
+    x = jnp.zeros((2, 16, 16, 16, 1))
+    params = jax.jit(model.init)(rng, x)
+    out = jax.jit(model.apply)(params, x)
+    assert out.shape == (2, 5)
+
+
+def test_vil_patch_encoder_pyramid(rng):
+    from xlstm_hved_tpu.models.vision_lstm import ViL3DPatchEncoder
+
+    model = ViL3DPatchEncoder(dims=(8, 16), depths=(1, 1))
+    x = jnp.zeros((1, 16, 16, 16, 2))
+    params = jax.jit(model.init)(rng, x)
+    feats = jax.jit(model.apply)(params, x)
+    assert feats[0].shape == (1, 4, 4, 4, 8)
+    assert feats[1].shape == (1, 2, 2, 2, 16)
+
+
+def test_deform_conv_zero_offsets_match_dense(rng):
+    """With zero offsets (the init), deformable conv == dense conv with the
+    equivalent tap weights."""
+    from xlstm_hved_tpu.ops.deform import DeformConv3d
+
+    model = DeformConv3d(features=4, kernel_size=3)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 8, 8, 8, 2), jnp.float32)
+    params = jax.jit(model.init)(rng, x)
+    y = jax.jit(model.apply)(params, x)
+    assert y.shape == (1, 8, 8, 8, 4)
+    # offset conv is zero-init -> sampling = integer taps with border clamp;
+    # interior voxels must equal a plain SAME conv with the same weights.
+    proj = params["params"]["proj"]["kernel"]  # (1,1,1, taps*C, F)
+    w = np.asarray(proj).reshape(3, 3, 3, 2, 4)
+    from jax import lax
+    dense = lax.conv_general_dilated(
+        x, jnp.asarray(w), (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    np.testing.assert_allclose(np.asarray(y)[:, 1:-1, 1:-1, 1:-1],
+                               np.asarray(dense)[:, 1:-1, 1:-1, 1:-1],
+                               atol=1e-4)

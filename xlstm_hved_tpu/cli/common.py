@@ -1,0 +1,97 @@
+"""Shared CLI plumbing: argument surface of the reference entry points
+(/root/reference/train.py:34-65, Pretrain.py:35-65, test.py:23-37) and the
+host<->device batch assembly."""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xlstm_hved_tpu.config import TrainConfig
+from xlstm_hved_tpu.data.transforms import device_augment, device_eval_transform
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--num_epochs", type=int, default=3000)
+    p.add_argument("--n_class", type=int, default=3)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--weight_adv", type=float, default=0.1)
+    p.add_argument("--weight_vae", type=float, default=0.2)
+    p.add_argument("--validate_every", type=int, default=1)
+    p.add_argument("--save_every", type=int, default=5)
+    p.add_argument("--save_dir", default="model")
+    p.add_argument("--crop_size", type=int, nargs=3, default=[128, 192, 128])
+    p.add_argument("--train_batch", type=int, default=1)
+    p.add_argument("--valid_batch", type=int, default=1)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--train_dir", type=str, default="data/BraTS2024/train")
+    p.add_argument("--valid_dir", type=str, default="data/BraTS2024/test")
+    p.add_argument("--backup_interval", type=int, default=5)
+    p.add_argument("--out_dir", type=str, default="results")
+    p.add_argument("--model_name", type=str, default="XLSTM_HVED")
+    p.add_argument("--pretrain_weights", type=str, default="")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--num_data_devices", type=int, default=0,
+                   help="data-parallel mesh size (0 = all devices)")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="jax.profiler trace output dir (empty = off)")
+    p.add_argument("--disc_kernel", type=int, default=4,
+                   help="discriminator conv kernel (use 3 for crops < 48)")
+    p.add_argument("--disc_fmaps", type=int, default=64)
+    return p
+
+
+def print_args(args) -> None:
+    print("========== arguments ==========")
+    for k in vars(args):
+        print(f"{k}: {getattr(args, k)}")
+    print("===============================")
+
+
+def train_cfg_from_args(args, steps_per_epoch=None) -> TrainConfig:
+    return TrainConfig(
+        num_epochs=args.num_epochs,
+        learning_rate=args.learning_rate,
+        weight_decay=1e-5,
+        weight_adv=args.weight_adv,
+        weight_vae=args.weight_vae,
+        crop_size=tuple(args.crop_size),
+        train_batch=args.train_batch,
+        valid_batch=args.valid_batch,
+        seed=args.seed,
+        validate_every=args.validate_every,
+        backup_interval=args.backup_interval,
+        steps_per_epoch=steps_per_epoch,
+    )
+
+
+def assemble_train_batch(items: List[Tuple], crop, key: jax.Array):
+    """Host batch (list of (img, labels, keep, bg)) -> device (x, x_missing,
+    mask) with the on-device augmentation pipeline."""
+    xs, xms, masks = [], [], []
+    for i, (img, labels, keep, _bg) in enumerate(items):
+        k = jax.random.fold_in(key, i)
+        img_j = jnp.asarray(img)
+        lab_j = jnp.asarray(labels)
+        aug_img, mask = device_augment(k, img_j, lab_j, crop=tuple(crop))
+        xs.append(aug_img)
+        xms.append(aug_img * jnp.asarray(keep, jnp.float32))
+        masks.append(mask)
+    return jnp.stack(xs), jnp.stack(xms), jnp.stack(masks)
+
+
+def assemble_eval_batch(items: List[Tuple], crop):
+    xs, xms, masks = [], [], []
+    for img, labels, keep, _bg in items:
+        img_j, mask = device_eval_transform(
+            jnp.asarray(img), jnp.asarray(labels), crop=tuple(crop))
+        xs.append(img_j)
+        xms.append(img_j * jnp.asarray(keep, jnp.float32))
+        masks.append(mask)
+    return jnp.stack(xs), jnp.stack(xms), jnp.stack(masks)

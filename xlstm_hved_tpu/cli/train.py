@@ -1,0 +1,135 @@
+"""Main training entry point (re-design of /root/reference/train.py:68-450).
+
+Capabilities kept: adversarial seg+recon training with modality-subset
+dropout, per-epoch validation (full + instance-missing), CSV metric log,
+latest/best_vloss/best_dice/backup checkpoints, pretrained-weight surgery,
+resume-from-latest.
+
+TPU-native mechanics: one jitted train step (G+D updates inside), on-device
+augmentation, data-parallel mesh sharding of the batch, threaded prefetch
+instead of DataLoader workers.
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xlstm_hved_tpu.cli.common import (
+    assemble_eval_batch,
+    assemble_train_batch,
+    base_parser,
+    print_args,
+    train_cfg_from_args,
+)
+from xlstm_hved_tpu.data.brats import BraTSDataset, prefetch_loader
+from xlstm_hved_tpu.engine.checkpoint import CheckpointManager, surgical_restore
+from xlstm_hved_tpu.engine.train import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from xlstm_hved_tpu.models import Discriminator, find_model_using_name
+from xlstm_hved_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from xlstm_hved_tpu.utils.logging import CSVLogger, RunningAverage, profiler_trace
+
+CSV_FIELDS = [
+    "Epoch", "Train_Loss", "Train_dice", "Train_wt_dice", "Train_tc_dice",
+    "Train_ec_dice", "Valid_Loss", "Valid_dice", "Valid_wt_dice",
+    "Valid_tc_dice", "Valid_ec_dice", "Valid_wt_dice_m", "Valid_tc_dice_m",
+    "Valid_ec_dice_m",
+]
+
+
+def main(argv=None):
+    args = base_parser("Train a model (TPU-native XLSTM-HVED)").parse_args(argv)
+    print_args(args)
+    rng = jax.random.PRNGKey(args.seed)
+
+    trainset = BraTSDataset(args.train_dir, m_full=True, seed=args.seed)
+    validset = BraTSDataset(args.valid_dir, m_full=True, seed=args.seed + 1)
+    steps_per_epoch = max(len(trainset) // args.train_batch, 1)
+    cfg = train_cfg_from_args(args, steps_per_epoch)
+
+    model = find_model_using_name(args.model_name,
+                                  compute_dtype=args.compute_dtype)
+    disc = Discriminator(f_maps=args.disc_fmaps, kernel=args.disc_kernel)
+
+    sample = jnp.zeros((1, *cfg.crop_size, 4), jnp.float32)
+    rng, init_rng = jax.random.split(rng)
+    state, _ = create_train_state(model, disc, cfg, init_rng, sample,
+                                  steps_per_epoch)
+
+    ckpt = CheckpointManager(f"{args.out_dir}/{args.model_name}",
+                             backup_interval=args.backup_interval)
+    if args.pretrain_weights:
+        donor, _meta = CheckpointManager(args.pretrain_weights).restore(
+            "best_vloss", state)
+        merged, loaded, skipped = surgical_restore(
+            state.params_g, donor.params_g, verbose=True)
+        state = state.replace(params_g=merged)
+    state, epoch_start, best_vloss, best_dice = ckpt.load_or_initialize(state)
+
+    n_dev = args.num_data_devices or len(jax.devices())
+    n_dev = min(n_dev, len(jax.devices()), max(args.train_batch, 1))
+    mesh = make_mesh(data=n_dev)
+    train_step = make_train_step(model, disc, cfg, steps_per_epoch)
+    eval_step = make_eval_step(model)
+    csvlog = CSVLogger(f"{args.out_dir}/{args.model_name}/loss_and_metrics.csv",
+                       CSV_FIELDS)
+
+    with mesh, profiler_trace(args.profile_dir or None):
+        state = replicate(mesh, state)
+        for epoch in range(epoch_start, args.num_epochs + 1):
+            t0 = time.perf_counter()
+            tr = {k: RunningAverage() for k in
+                  ("loss", "train_dice", "wt_dice", "tc_dice", "ec_dice")}
+            for items in prefetch_loader(trainset, args.train_batch,
+                                         shuffle=True, seed=args.seed + epoch):
+                rng, k_aug, k_step = jax.random.split(rng, 3)
+                x, _xm, mask = assemble_train_batch(items, cfg.crop_size, k_aug)
+                x, mask = shard_batch(mesh, (x, mask))
+                state, metrics = train_step(state, x, mask, k_step)
+                for k in tr:
+                    tr[k].update(float(metrics[k]))
+
+            va = {k: RunningAverage() for k in
+                  ("vloss", "dice", "wt_dice", "tc_dice", "ec_dice",
+                   "wt_dice_m", "tc_dice_m", "ec_dice_m")}
+            if epoch < 5 or (epoch + 1) % args.validate_every == 0:
+                for items in prefetch_loader(validset, args.valid_batch,
+                                             shuffle=False, seed=0):
+                    x, xm, mask = assemble_eval_batch(items, cfg.crop_size)
+                    x, xm, mask = shard_batch(mesh, (x, xm, mask))
+                    m = eval_step(state.params_g, state.batch_stats_g, x, xm,
+                                  mask)
+                    for k in va:
+                        va[k].update(float(m[k]))
+
+            best_vloss, best_dice = ckpt.save_epoch(
+                state, epoch, va["vloss"].avg, va["dice"].avg,
+                best_vloss, best_dice)
+            csvlog.append({
+                "Epoch": epoch, "Train_Loss": tr["loss"].avg,
+                "Train_dice": tr["train_dice"].avg,
+                "Train_wt_dice": tr["wt_dice"].avg,
+                "Train_tc_dice": tr["tc_dice"].avg,
+                "Train_ec_dice": tr["ec_dice"].avg,
+                "Valid_Loss": va["vloss"].avg, "Valid_dice": va["dice"].avg,
+                "Valid_wt_dice": va["wt_dice"].avg,
+                "Valid_tc_dice": va["tc_dice"].avg,
+                "Valid_ec_dice": va["ec_dice"].avg,
+                "Valid_wt_dice_m": va["wt_dice_m"].avg,
+                "Valid_tc_dice_m": va["tc_dice_m"].avg,
+                "Valid_ec_dice_m": va["ec_dice_m"].avg,
+            })
+            print(f"Epoch [{epoch}/{args.num_epochs}] "
+                  f"loss {tr['loss'].avg:.4f} dice {tr['train_dice'].avg:.4f} "
+                  f"vloss {va['vloss'].avg:.4f} vdice {va['dice'].avg:.4f} "
+                  f"({time.perf_counter()-t0:.1f}s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+"""BraTS dataset with modality dropout + a prefetching host loader.
+
+Re-design of /root/reference/BraTSdataset.py:276-428 (GBMset) without torch
+DataLoader: a thread-pool prefetcher feeds numpy batches; augmentation runs
+on device (data/transforms.py). Semantics kept:
+- per-subject NIfTI layout {subject}-{t1c,t1n,t2f,t2w,seg}.nii.gz,
+- random modality dropout with >=1 modality kept (:402-405),
+- m_full=False forces >=1 dropped modality (:411-416),
+- corrupt subjects are skipped (the reference returns None and filters in
+  custom_collate_fn, utils.py:168-173).
+"""
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from xlstm_hved_tpu.data.nifti import load_subject
+from xlstm_hved_tpu.data.transforms import background_info
+
+
+class BraTSDataset:
+    def __init__(self, data_dir: str, m_full: bool = False,
+                 suffixes=("t1c", "t1n", "t2f", "t2w"),
+                 seed: int = 0, use_native: Optional[bool] = None):
+        self.data_dir = data_dir
+        self.m_full = m_full
+        self.suffixes = suffixes
+        self.subjects: List[str] = sorted(
+            d for d in os.listdir(data_dir)
+            if os.path.isdir(os.path.join(data_dir, d)))
+        self.rng = np.random.RandomState(seed)
+        if use_native is None:
+            # the native loader decodes modalities in parallel threads; only
+            # worth it with more than one core
+            use_native = (os.cpu_count() or 1) > 1
+        self.use_native = use_native
+        if self.use_native:
+            from xlstm_hved_tpu.runtime import native_available
+            self.use_native = native_available()
+
+    def __len__(self) -> int:
+        return len(self.subjects)
+
+    def load(self, index: int) -> Optional[Tuple[np.ndarray, np.ndarray,
+                                                 np.ndarray, np.ndarray]]:
+        """Returns (img (D,H,W,4) fp32, labels (D,H,W), keep (4,) bool,
+        bg_info (3,)) or None on load error."""
+        subject = self.subjects[index]
+        try:
+            if self.use_native:
+                from xlstm_hved_tpu.data.nifti import read_nifti
+                from xlstm_hved_tpu.runtime import native_read_subject
+                img = native_read_subject(self.data_dir, subject,
+                                          self.suffixes)
+                seg_path = os.path.join(self.data_dir, subject,
+                                        f"{subject}-seg.nii.gz")
+                if not os.path.exists(seg_path):
+                    seg_path = seg_path[:-3]
+                seg, _ = read_nifti(seg_path)
+            else:
+                img, seg = load_subject(self.data_dir, subject, self.suffixes)
+        except Exception as e:  # noqa: BLE001 — skip corrupt subjects
+            print(f"error {e} loading {subject}, skipping")
+            return None
+        keep = self.sample_keep()
+        bg = background_info(img)
+        img = np.moveaxis(img, 0, -1).astype(np.float32)  # channels-last
+        return img, seg.astype(np.int32), keep, bg
+
+    def sample_keep(self) -> np.ndarray:
+        """Random modality keep mask (True=present), reference semantics
+        (BraTSdataset.py:387-416)."""
+        keep = self.rng.randint(2, size=4).astype(bool)
+        if not keep.any():
+            keep[self.rng.randint(4)] = True
+        if not self.m_full and keep.all():
+            keep[self.rng.randint(4)] = False
+        return keep
+
+
+def prefetch_loader(dataset: BraTSDataset, batch_size: int = 1,
+                    shuffle: bool = True, num_threads: int = 2,
+                    drop_last: bool = True, seed: int = 0,
+                    epochs: Optional[int] = 1
+                    ) -> Iterator[List[Tuple]]:
+    """Threaded prefetching iterator yielding lists of per-subject tuples
+    (batching/padding happens in the engine, which knows the crop size)."""
+    order_rng = np.random.RandomState(seed)
+    q: "queue.Queue" = queue.Queue(maxsize=max(2 * batch_size, 4))
+    stop = threading.Event()
+
+    def producer():
+        epoch = 0
+        while not stop.is_set() and (epochs is None or epoch < epochs):
+            idxs = np.arange(len(dataset))
+            if shuffle:
+                order_rng.shuffle(idxs)
+            for i in idxs:
+                if stop.is_set():
+                    return
+                item = dataset.load(int(i))
+                if item is not None:
+                    q.put(item)
+            epoch += 1
+        q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        batch: List[Tuple] = []
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            batch.append(item)
+            if len(batch) == batch_size:
+                yield batch
+                batch = []
+        if batch and not drop_last:
+            yield batch
+    finally:
+        stop.set()
+
+
+class HDF5Dataset:
+    """BraTS2018/ISLES-style HDF5 validation sets (reference GBMValidset /
+    ISLESset, BraTSdataset.py:176-273,431-586): an .h5 with 'image' and
+    optional 'label' datasets per index; per-channel z-score over brain."""
+
+    def __init__(self, path: str, image_key: str = "image",
+                 label_key: str = "label", zscore: bool = True):
+        import h5py
+
+        self.f = h5py.File(path, "r")
+        self.images = self.f[image_key]
+        self.labels = self.f[label_key] if label_key in self.f else None
+        self.zscore = zscore
+
+    def __len__(self):
+        return len(self.images)
+
+    def load(self, index: int):
+        from xlstm_hved_tpu.data.transforms import host_zscore_nonzero
+
+        img = np.asarray(self.images[index], np.float32)
+        if img.ndim == 3:
+            img = img[None]
+        if self.zscore:
+            img = host_zscore_nonzero(img)
+        lab = (np.asarray(self.labels[index], np.int32)
+               if self.labels is not None else None)
+        return np.moveaxis(img, 0, -1), lab

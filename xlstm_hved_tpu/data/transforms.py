@@ -1,0 +1,172 @@
+"""Augmentation pipeline — host (numpy) and fused on-device (jit) variants.
+
+Re-design of /root/reference/transform.py:10-280. The training pipeline
+(shift=0.1, flip_prob=0.5, random_crop, /255 normalize, SegToMask;
+train.py:121) runs as ONE jitted on-device function `device_augment` driven by
+a PRNG key, so augmentation overlaps host IO instead of burning DataLoader
+workers. Host-side equivalents are provided for parity/tests and for the
+rare scipy-based ops (rotation, zoom-scale).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------- on-device (jit) pipeline ----------------
+
+def seg_to_mask(labels: jnp.ndarray) -> jnp.ndarray:
+    """BraTS labels -> 3 nested sigmoid channels WT=(m>0), TC=(m in 1,2,3),
+    ET=(m==1) (transform.py:255-280), channel-last."""
+    wt = (labels > 0).astype(jnp.float32)
+    tc = ((labels == 1) | (labels == 2) | (labels == 3)).astype(jnp.float32)
+    et = (labels == 1).astype(jnp.float32)
+    return jnp.stack([wt, tc, et], axis=-1)
+
+
+def intensity_shift(key: jax.Array, img: jnp.ndarray,
+                    scale: float = 0.1) -> jnp.ndarray:
+    """x + std(nonzero voxels)*alpha on nonzero voxels, per channel, one
+    alpha per sample (transform.py:120-137). img: (D, H, W, C)."""
+    alpha = jax.random.uniform(key, (), minval=-scale, maxval=scale)
+    nz = (img != 0).astype(jnp.float32)
+    cnt = jnp.maximum(jnp.sum(nz, axis=(0, 1, 2)), 1.0)
+    mean = jnp.sum(img * nz, axis=(0, 1, 2)) / cnt
+    var = jnp.sum(jnp.square(img - mean) * nz, axis=(0, 1, 2)) / cnt
+    std = jnp.sqrt(jnp.maximum(var, 0.0))
+    return jnp.where(img != 0, img + std * alpha, 0.0)
+
+
+def intensity_scale(key: jax.Array, img: jnp.ndarray,
+                    scale: float = 0.1) -> jnp.ndarray:
+    alpha = jax.random.uniform(key, (), minval=1.0 - scale, maxval=1.0 + scale)
+    return img * alpha
+
+
+def random_flip(key: jax.Array, img: jnp.ndarray, labels: jnp.ndarray,
+                prob: float = 0.5) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-axis random flip of (D, H, W, C) image + (D, H, W) labels.
+    NOTE: the reference flips when uniform() > prob (transform.py:109-118),
+    i.e. with probability 1-prob; for the default 0.5 they coincide."""
+    flips = jax.random.uniform(key, (3,)) > prob
+    for axis in range(3):
+        img = jnp.where(flips[axis], jnp.flip(img, axis=axis), img)
+        labels = jnp.where(flips[axis], jnp.flip(labels, axis=axis), labels)
+    return img, labels
+
+
+def random_crop(key: jax.Array, img: jnp.ndarray, labels: jnp.ndarray,
+                crop: Sequence[int]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Uniform-origin 3D crop to static `crop` (transform.py:213-252)."""
+    shape = img.shape[:3]
+    maxs = jnp.asarray([shape[i] - crop[i] for i in range(3)])
+    u = jax.random.uniform(key, (3,))
+    origin = jnp.floor(u * (maxs + 1)).astype(jnp.int32)
+    origin = jnp.minimum(origin, maxs)
+    img_c = jax.lax.dynamic_slice(
+        img, (origin[0], origin[1], origin[2], 0), (*crop, img.shape[-1]))
+    lab_c = jax.lax.dynamic_slice(
+        labels, (origin[0], origin[1], origin[2]), tuple(crop))
+    return img_c, lab_c
+
+
+@functools.partial(jax.jit, static_argnames=("crop", "shift", "flip_prob",
+                                             "normalize"))
+def device_augment(
+    key: jax.Array,
+    img: jnp.ndarray,      # (D, H, W, 4) raw intensities
+    labels: jnp.ndarray,   # (D, H, W) integer labels
+    crop: Tuple[int, int, int],
+    shift: float = 0.1,
+    flip_prob: float = 0.5,
+    normalize: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused train-time pipeline (shift -> flip -> crop -> /255 -> SegToMask),
+    order matching transforms() (transform.py:10-28)."""
+    k_shift, k_flip, k_crop = jax.random.split(key, 3)
+    if shift:
+        img = intensity_shift(k_shift, img, shift)
+    if flip_prob:
+        img, labels = random_flip(k_flip, img, labels, flip_prob)
+    img, labels = random_crop(k_crop, img, labels, crop)
+    if normalize:
+        img = img / 255.0
+    return img, seg_to_mask(labels)
+
+
+@functools.partial(jax.jit, static_argnames=("crop", "normalize"))
+def device_eval_transform(img: jnp.ndarray, labels: jnp.ndarray,
+                          crop: Optional[Tuple[int, int, int]] = None,
+                          normalize: bool = True):
+    """Eval pipeline: center-origin crop (deterministic) + /255 + SegToMask."""
+    if crop is not None:
+        origin = tuple((img.shape[i] - crop[i]) // 2 for i in range(3))
+        img = jax.lax.dynamic_slice(img, (*origin, 0),
+                                    (*crop, img.shape[-1]))
+        labels = jax.lax.dynamic_slice(labels, origin, tuple(crop))
+    if normalize:
+        img = img / 255.0
+    return img, seg_to_mask(labels)
+
+
+# ---------------- host (numpy) parity ops ----------------
+
+def host_seg_to_mask(m: np.ndarray) -> np.ndarray:
+    wt = (m > 0).astype(np.uint8)
+    tc = ((m == 1) | (m == 2) | (m == 3)).astype(np.uint8)
+    et = (m == 1).astype(np.uint8)
+    return np.stack([wt, tc, et], axis=-1)
+
+
+def host_zscore_nonzero(img: np.ndarray) -> np.ndarray:
+    """Per-channel z-score over non-background voxels (the HDF5 loaders'
+    normalize, /root/reference/BraTSdataset.py:157-173)."""
+    out = np.zeros_like(img, dtype=np.float32)
+    for c in range(img.shape[0]):
+        ch = img[c]
+        mask = ch != 0
+        if mask.any():
+            mu, sd = ch[mask].mean(), ch[mask].std()
+            out[c] = np.where(mask, (ch - mu) / max(sd, 1e-8), 0.0)
+    return out
+
+
+def host_random_rotate(rng: np.random.RandomState, img: np.ndarray,
+                       labels: np.ndarray, angle_spectrum: int = 30,
+                       axes=((2, 1),)):
+    """scipy-based RandomRotate (transform.py:182-211); host-only."""
+    from scipy.ndimage import rotate
+
+    axis = axes[rng.randint(len(axes))]
+    angle = rng.randint(-angle_spectrum, angle_spectrum)
+    labels = rotate(labels, angle, axes=axis, reshape=False, order=0,
+                    mode="reflect", cval=0)
+    chans = [rotate(img[c], angle, axes=axis, reshape=False, order=0,
+                    mode="reflect", cval=float(img[c, 0, 0, 0]))
+             for c in range(img.shape[0])]
+    return np.stack(chans, axis=0), labels
+
+
+def background_info(img: np.ndarray, patch_size: Optional[Sequence[int]] = None
+                    ) -> np.ndarray:
+    """Brain bounding-box min corner, padded so the box holds at least
+    patch_size per axis (reference background_info,
+    /root/reference/BraTSdataset.py:10-82). img: (C, D, H, W)."""
+    brain = np.any(img != 0, axis=0)
+    if not brain.any():
+        return np.zeros(3, np.int32)
+    idx = np.argwhere(brain)
+    lo = idx.min(axis=0)
+    hi = idx.max(axis=0) + 1
+    if patch_size is not None:
+        for a in range(3):
+            need = patch_size[a] - (hi[a] - lo[a])
+            if need > 0:
+                lo[a] = max(0, lo[a] - need // 2)
+                hi[a] = min(brain.shape[a], lo[a] + patch_size[a])
+                lo[a] = max(0, hi[a] - patch_size[a])
+    return lo.astype(np.int32)

@@ -1,0 +1,164 @@
+"""Evaluation engine: sliding-window whole-volume inference and the
+15-subset missing-modality sweep.
+
+TPU-native re-design of /root/reference/evaluation.py:279-498 (eval_overlap)
+and /root/reference/test.py:78-102 (the per-subset Python loop):
+- patch origins form a STATIC grid (shape-dependent only) including residual
+  windows, fixing the reference's list-arithmetic TypeError on non-divisible
+  volumes (evaluation.py:317-321, SURVEY.md §4 defect 5);
+- the window loop is a lax.scan with on-device scatter-add accumulation
+  (sum / count buffers) — no host round-trips per window;
+- the 15-subset sweep is a vmapped keep-mask axis (chunked with lax.map to
+  bound memory) instead of 15 full passes from Python;
+- dropped modalities are zeroed in the input like the reference
+  (evaluation.py:306-307) — the model additionally receives the keep mask.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xlstm_hved_tpu.utils.subsets import SUBSET_MASKS
+
+
+def window_origins(dim: int, patch: int, stride: int) -> Tuple[int, ...]:
+    """Start offsets covering [0, dim) with a final residual window ending at
+    dim - patch (semantics of evaluation.py:310-321, fixed)."""
+    if dim <= patch:
+        return (0,)
+    starts = list(range(0, dim - patch + 1, stride))
+    if starts[-1] != dim - patch:
+        starts.append(dim - patch)
+    return tuple(starts)
+
+
+def origin_grid(shape: Sequence[int], patch: Sequence[int],
+                stride: Sequence[int]) -> np.ndarray:
+    """(N, 3) int32 array of window origins (static, host-side)."""
+    ds = window_origins(shape[0], patch[0], stride[0])
+    hs = window_origins(shape[1], patch[1], stride[1])
+    ws = window_origins(shape[2], patch[2], stride[2])
+    grid = [(d, h, w) for d in ds for h in hs for w in ws]
+    return np.asarray(grid, dtype=np.int32)
+
+
+def make_sliding_window(
+    apply_fn: Callable,
+    patch: Sequence[int],
+    stride: Optional[Sequence[int]] = None,
+    out_channels: int = 3,
+    recon_channels: int = 0,
+):
+    """Build a jitted whole-volume predictor.
+
+    apply_fn(variables, x_patch, keep) must return (seg_probs, recon|None)
+    with seg probs (B, *patch, out_channels).
+
+    Returns predict(variables, x, keep) -> (seg, recon|None) averaged over
+    overlapping windows.
+    """
+    patch = tuple(patch)
+    stride = tuple(stride) if stride is not None else patch
+
+    @functools.partial(jax.jit, static_argnames=())
+    def predict(variables, x, keep):
+        B = x.shape[0]
+        vol = x.shape[1:4]
+        # zero dropped channels of the input (evaluation.py:306-307)
+        x = x * keep.reshape((1,) * 4 + (-1,)).astype(x.dtype)
+        grid = jnp.asarray(origin_grid(vol, patch, stride))
+
+        seg_sum = jnp.zeros((B, *vol, out_channels), jnp.float32)
+        rec_sum = (jnp.zeros((B, *vol, recon_channels), jnp.float32)
+                   if recon_channels else None)
+        count = jnp.zeros((1, *vol, 1), jnp.float32)
+        ones_patch = jnp.ones((1, *patch, 1), jnp.float32)
+
+        def body(carry, origin):
+            seg_sum, rec_sum, count = carry
+            d, h, w = origin[0], origin[1], origin[2]
+            crop = jax.lax.dynamic_slice(
+                x, (0, d, h, w, 0), (B, *patch, x.shape[-1]))
+            seg_p, rec_p = apply_fn(variables, crop, keep)
+            cur = jax.lax.dynamic_slice(
+                seg_sum, (0, d, h, w, 0), (B, *patch, out_channels))
+            seg_sum = jax.lax.dynamic_update_slice(
+                seg_sum, cur + seg_p.astype(jnp.float32), (0, d, h, w, 0))
+            if rec_sum is not None:
+                curr = jax.lax.dynamic_slice(
+                    rec_sum, (0, d, h, w, 0), (B, *patch, recon_channels))
+                rec_sum = jax.lax.dynamic_update_slice(
+                    rec_sum, curr + rec_p.astype(jnp.float32), (0, d, h, w, 0))
+            curc = jax.lax.dynamic_slice(
+                count, (0, d, h, w, 0), (1, *patch, 1))
+            count = jax.lax.dynamic_update_slice(
+                count, curc + ones_patch, (0, d, h, w, 0))
+            return (seg_sum, rec_sum, count), None
+
+        (seg_sum, rec_sum, count), _ = jax.lax.scan(
+            body, (seg_sum, rec_sum, count), grid)
+        seg = seg_sum / count
+        rec = rec_sum / count if rec_sum is not None else None
+        return seg, rec
+
+    return predict
+
+
+def make_subset_sweep(
+    apply_fn: Callable,
+    patch: Sequence[int],
+    stride: Optional[Sequence[int]] = None,
+    out_channels: int = 3,
+    recon_channels: int = 0,
+    subset_chunk: int = 5,
+):
+    """15-subset missing-modality evaluation as chunked-vmapped device passes
+    (replaces the Python loop at /root/reference/test.py:78-102).
+
+    Returns sweep(variables, x) -> seg probs of shape (15, B, D, H, W, C).
+    """
+    predict = make_sliding_window(apply_fn, patch, stride, out_channels,
+                                  recon_channels)
+    keeps = jnp.asarray(SUBSET_MASKS)  # (15, 4)
+    assert keeps.shape[0] % subset_chunk == 0
+
+    @jax.jit
+    def sweep(variables, x):
+        chunks = keeps.reshape(-1, subset_chunk, keeps.shape[1])
+
+        def run_chunk(keep_chunk):
+            return jax.vmap(lambda k: predict(variables, x, k)[0])(keep_chunk)
+
+        segs = jax.lax.map(run_chunk, chunks)
+        return segs.reshape((-1,) + segs.shape[2:])
+
+    return sweep
+
+
+def default_apply_fn(model, *, recon: bool = False):
+    """Standard eval-mode apply for HVEDFusionNet (valid=True semantics:
+    deterministic latents, /root/reference/RA_HVED.py:741-747)."""
+
+    def apply_fn(variables, x_patch, keep):
+        out = model.apply(variables, x_patch, keep=keep, recon=recon,
+                          deterministic=True)
+        return out.seg, out.recon
+
+    return apply_fn
+
+
+def label_volume_from_probs(seg: np.ndarray, threshold: float = 0.5) -> np.ndarray:
+    """Nested WT/TC/ET probabilities -> BraTS label volume with the
+    reference's remap WT->2, TC->1, ET->4 (evaluation.py:442-447)."""
+    wt = seg[..., 0] > threshold
+    tc = seg[..., 1] > threshold
+    et = seg[..., 2] > threshold
+    out = np.zeros(seg.shape[:-1], dtype=np.uint8)
+    out[wt] = 2
+    out[wt & tc] = 1
+    out[wt & tc & et] = 4
+    return out

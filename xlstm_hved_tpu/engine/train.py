@@ -1,0 +1,298 @@
+"""Training engine: one jitted adversarial train step (G + D) and state.
+
+Functional re-design of the reference's epoch loop body
+(/root/reference/train.py:195-296):
+- two generator forwards per step (full subset + sampled subset, :224-225),
+- dice + missing-dice + beta*recon + beta*KLD + alpha*g_gan (:232-262),
+- the in-place nested-weight construction for the discriminator input
+  (:242-259) rewritten functionally,
+- the D step on stop-gradient inputs (:272-285),
+- both Adam optimizers with torch-style L2 weight decay and the poly LR
+  schedule (1 - e/E)^0.9 (:164-189).
+
+Mixed precision: the model computes in bf16 (config) — no GradScaler needed on
+TPU (the reference uses torch.cuda.amp, train.py:207). Gate math inside the
+mLSTM stays fp32 (ops/mlstm.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from xlstm_hved_tpu.config import TrainConfig
+from xlstm_hved_tpu.losses import (
+    compute_kld_subsets,
+    dice_loss,
+    gan_loss_lsgan,
+    l2_loss,
+)
+from xlstm_hved_tpu.metrics import dice_coefficient, dice_region
+from xlstm_hved_tpu.utils.subsets import SUBSET_MASKS, sample_subset_index
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params_g: Any
+    batch_stats_g: Any
+    opt_state_g: Any
+    params_d: Any
+    opt_state_d: Any
+
+
+def poly_schedule(base_lr: float, num_epochs: int, steps_per_epoch: int,
+                  power: float = 0.9) -> optax.Schedule:
+    """lr * (1 - epoch/E)^power, stepped per epoch
+    (/root/reference/train.py:187-189)."""
+
+    def schedule(count):
+        epoch = count // steps_per_epoch
+        frac = 1.0 - epoch / num_epochs
+        return base_lr * jnp.maximum(frac, 0.0) ** power
+
+    return schedule
+
+
+def make_optimizer(cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay) equivalent: L2 term added to the
+    gradient BEFORE the Adam moments (not decoupled AdamW)."""
+    sched = poly_schedule(cfg.learning_rate, cfg.num_epochs, steps_per_epoch,
+                          cfg.poly_power)
+    return optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.adam(sched),
+    )
+
+
+def nested_region_weight(seg: jnp.ndarray) -> jnp.ndarray:
+    """Nested attention weight map from WT/TC/ET probabilities: innermost
+    confident region wins (functional form of /root/reference/train.py:244-259
+    which builds it with in-place masked writes)."""
+    wt, tc, et = seg[..., 0], seg[..., 1], seg[..., 2]
+    w = jnp.where(wt > 0.5, wt, 0.0)
+    w = jnp.where(tc > 0.5, tc, w)
+    w = jnp.where(et > 0.5, et, w)
+    return w
+
+
+def create_train_state(model, disc, cfg: TrainConfig, rng: jax.Array,
+                       sample_batch: jnp.ndarray,
+                       steps_per_epoch: int = 1) -> Tuple[TrainState, Dict]:
+    k_g, k_d, k_lat = jax.random.split(rng, 3)
+    # jit the inits: eager flax dispatch of hundreds of tiny convs is minutes
+    variables = jax.jit(functools.partial(model.init, deterministic=True))(
+        {"params": k_g, "latent": k_lat}, sample_batch)
+    params_g = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    disc_in = jnp.zeros(sample_batch.shape[:-1] + (7,), sample_batch.dtype)
+    params_d = jax.jit(disc.init)(k_d, disc_in)["params"]
+    tx = make_optimizer(cfg, steps_per_epoch)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params_g=params_g,
+        batch_stats_g=batch_stats,
+        opt_state_g=tx.init(params_g),
+        params_d=params_d,
+        opt_state_d=tx.init(params_d),
+    )
+    return state, {"tx": tx}
+
+
+def make_train_step(model, disc, cfg: TrainConfig, steps_per_epoch: int = 1,
+                    freeze_mask: Optional[Any] = None) -> Callable:
+    """Build the jitted train step. `freeze_mask` is an optional pytree of
+    0/1 matching params_g that zeroes gradients (the reference freezes
+    srdecoder.sdecoders during pretraining, Pretrain.py:146-148)."""
+    tx = make_optimizer(cfg, steps_per_epoch)
+    alpha, beta = cfg.weight_adv, cfg.weight_vae
+    subset_table = jnp.asarray(SUBSET_MASKS)
+
+    def loss_g_fn(params_g, state, x, mask, keep, k1, k2):
+        mvars = {"params": params_g}
+        has_bs = bool(state.batch_stats_g)
+        if has_bs:
+            mvars["batch_stats"] = state.batch_stats_g
+        mutable = ["batch_stats"] if has_bs else False
+
+        out_f, new1 = model.apply(
+            mvars, x, recon=True, train=True, rngs={"latent": k1},
+            mutable=mutable) if has_bs else (model.apply(
+                mvars, x, recon=True, train=True, rngs={"latent": k1}), {})
+        if has_bs:
+            mvars = {"params": params_g, "batch_stats": new1["batch_stats"]}
+        out_m, new2 = model.apply(
+            mvars, x, keep=keep, recon=True, train=True, rngs={"latent": k2},
+            mutable=mutable) if has_bs else (model.apply(
+                mvars, x, keep=keep, recon=True, train=True,
+                rngs={"latent": k2}), {})
+        new_bs = new2.get("batch_stats", state.batch_stats_g) if has_bs else {}
+
+        dice = dice_loss(out_f.seg, mask)
+        m_dice = dice_loss(out_m.seg, mask)
+        recon = l2_loss(out_m.recon, x)
+        kld = jnp.mean(jnp.stack([
+            compute_kld_subsets(mu, lv, keep[None, :])
+            for mu, lv in zip(out_m.mu, out_m.logvar)
+        ]))
+
+        # GAN plumbing: weights are detached, recon/seg are live for G
+        f_w = nested_region_weight(jax.lax.stop_gradient(out_f.seg))
+        m_w = nested_region_weight(jax.lax.stop_gradient(out_m.seg))
+        atten_f = jax.lax.stop_gradient(out_f.recon) * (1.0 + f_w[..., None])
+        atten_m = out_m.recon * (1.0 + m_w[..., None])
+        pred_fake = disc.apply({"params": state.params_d},
+                               jnp.concatenate([out_m.seg, atten_m], axis=-1))
+        g_gan = gan_loss_lsgan(pred_fake, True)
+
+        loss = dice + m_dice + beta * recon + beta * kld + alpha * g_gan
+        aux = dict(
+            new_bs=new_bs,
+            f_seg=jax.lax.stop_gradient(out_f.seg),
+            m_seg=jax.lax.stop_gradient(out_m.seg),
+            atten_f=jax.lax.stop_gradient(atten_f),
+            atten_m=jax.lax.stop_gradient(atten_m),
+            losses=dict(loss=loss, dice=dice, m_dice=m_dice, recon=recon,
+                        kld=kld, g_gan=g_gan),
+        )
+        return loss, aux
+
+    def loss_d_fn(params_d, aux):
+        pred_fake = disc.apply(
+            {"params": params_d},
+            jnp.concatenate([aux["m_seg"], aux["atten_m"]], axis=-1))
+        pred_real = disc.apply(
+            {"params": params_d},
+            jnp.concatenate([aux["f_seg"], aux["atten_f"]], axis=-1))
+        loss_fake = gan_loss_lsgan(pred_fake, False)
+        loss_real = gan_loss_lsgan(pred_real, True)
+        return alpha * (loss_fake + loss_real) * 0.5
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, x, mask, key):
+        k_sub, k1, k2 = jax.random.split(key, 3)
+        subset_idx = sample_subset_index(k_sub, 1, 3)
+        keep = subset_table[subset_idx]
+
+        (loss, aux), grads_g = jax.value_and_grad(loss_g_fn, has_aux=True)(
+            state.params_g, state, x, mask, keep, k1, k2)
+        if freeze_mask is not None:
+            grads_g = jax.tree.map(lambda g, m: g * m, grads_g, freeze_mask)
+        updates_g, opt_g = tx.update(grads_g, state.opt_state_g, state.params_g)
+        if freeze_mask is not None:
+            # mask the UPDATE too: add_decayed_weights re-introduces wd*p
+            # after the gradient mask
+            updates_g = jax.tree.map(lambda u, m: u * m, updates_g, freeze_mask)
+        params_g = optax.apply_updates(state.params_g, updates_g)
+
+        loss_d, grads_d = jax.value_and_grad(loss_d_fn)(state.params_d, aux)
+        updates_d, opt_d = tx.update(grads_d, state.opt_state_d, state.params_d)
+        params_d = optax.apply_updates(state.params_d, updates_d)
+
+        metrics = dict(aux["losses"])
+        metrics["loss_d"] = loss_d
+        metrics["train_dice"] = dice_coefficient(aux["f_seg"], mask)
+        metrics["wt_dice"] = dice_region(aux["f_seg"], mask, "WT")
+        metrics["tc_dice"] = dice_region(aux["f_seg"], mask, "TC")
+        metrics["ec_dice"] = dice_region(aux["f_seg"], mask, "EC")
+        metrics["subset_idx"] = subset_idx
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params_g=params_g,
+            batch_stats_g=aux["new_bs"],
+            opt_state_g=opt_g,
+            params_d=params_d,
+            opt_state_d=opt_d,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model) -> Callable:
+    """Jitted validation step: full + instance-missing passes
+    (/root/reference/train.py:319-353)."""
+
+    @jax.jit
+    def eval_step(params_g, batch_stats, x, x_missing, mask):
+        mvars = {"params": params_g}
+        if batch_stats:
+            mvars["batch_stats"] = batch_stats
+        out = model.apply(mvars, x, deterministic=True)
+        out_m = model.apply(mvars, x_missing, instance_missing=True,
+                            deterministic=True)
+        vloss = dice_loss(out.seg, mask)
+        return dict(
+            vloss=vloss,
+            dice=dice_coefficient(out.seg, mask),
+            wt_dice=dice_region(out.seg, mask, "WT"),
+            tc_dice=dice_region(out.seg, mask, "TC"),
+            ec_dice=dice_region(out.seg, mask, "EC"),
+            wt_dice_m=dice_region(out_m.seg, mask, "WT"),
+            tc_dice_m=dice_region(out_m.seg, mask, "TC"),
+            ec_dice_m=dice_region(out_m.seg, mask, "EC"),
+        )
+
+    return eval_step
+
+
+def make_pretrain_step(model, cfg: TrainConfig, steps_per_epoch: int = 1,
+                       freeze_mask: Optional[Any] = None) -> Callable:
+    """Recon-only pretraining step: MSE recon + beta*KLD, seg branch skipped
+    (/root/reference/Pretrain.py:221-236)."""
+    tx = make_optimizer(cfg, steps_per_epoch)
+    beta = cfg.weight_vae
+    subset_table = jnp.asarray(SUBSET_MASKS)
+
+    def loss_fn(params_g, state, x, keep, k2):
+        mvars = {"params": params_g}
+        has_bs = bool(state.batch_stats_g)
+        if has_bs:
+            mvars["batch_stats"] = state.batch_stats_g
+        out_m = model.apply(mvars, x, keep=keep, seg=False, recon=True,
+                            train=False, rngs={"latent": k2})
+        recon = l2_loss(out_m.recon, x)
+        kld = jnp.mean(jnp.stack([
+            compute_kld_subsets(mu, lv, keep[None, :])
+            for mu, lv in zip(out_m.mu, out_m.logvar)
+        ]))
+        loss = recon + beta * kld
+        return loss, dict(loss=loss, recon=recon, kld=kld)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def pretrain_step(state: TrainState, x, key):
+        k_sub, k2 = jax.random.split(key)
+        subset_idx = sample_subset_index(k_sub, 1, 3)
+        keep = subset_table[subset_idx]
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params_g, state, x, keep, k2)
+        if freeze_mask is not None:
+            grads = jax.tree.map(lambda g, m: g * m, grads, freeze_mask)
+        updates, opt_g = tx.update(grads, state.opt_state_g, state.params_g)
+        if freeze_mask is not None:
+            updates = jax.tree.map(lambda u, m: u * m, updates, freeze_mask)
+        params_g = optax.apply_updates(state.params_g, updates)
+        new_state = state.replace(step=state.step + 1, params_g=params_g,
+                                  opt_state_g=opt_g)
+        return new_state, metrics
+
+    return pretrain_step
+
+
+def freeze_mask_for(params, substrings: Tuple[str, ...]) -> Any:
+    """0/1 gradient mask: 0 where any substring matches the param path
+    (reference freeze_weights, /root/reference/utils.py:154-159 and the
+    sdecoder freeze in Pretrain.py:146-148)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def keep(path):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        return 0.0 if any(s in name for s in substrings) else 1.0
+
+    leaves = {jax.tree_util.keystr(path): keep(path) for path, _ in flat}
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: leaves[jax.tree_util.keystr(path)], params)

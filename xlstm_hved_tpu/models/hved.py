@@ -235,7 +235,8 @@ class HVEDFusionNet(nn.Module):
             else:
                 vil_in = rec_feats[0]
             rec_feats[0] = rec_feats[0] + ViLLayer3D(
-                dim=dec_f[-1], chunk_size=cfg.vil_chunk_size, name="mvil"
+                dim=dec_f[-1], chunk_size=cfg.vil_chunk_size,
+                use_pallas=cfg.use_pallas_mlstm, name="mvil"
             )(vil_in).astype(dtype)
 
         mu_t = tuple(mu_list)
@@ -350,6 +351,11 @@ class Discriminator(nn.Module):
             x = DiscriminatorBlock(
                 f, kernel=self.kernel, stride=self.strides[i],
                 normalize=i > 0, dtype=self.dtype, name=f"block{i}")(x)
+        if min(x.shape[1:4]) + 2 < self.kernel:
+            raise ValueError(
+                f"Discriminator input too small: spatial {x.shape[1:4]} after "
+                f"downsampling leaves no support for the final k={self.kernel} "
+                "conv — use a larger crop or kernel=3")
         x = nn.Conv(1, (self.kernel,) * 3, padding=((1, 1),) * 3,
                     use_bias=False, dtype=self.dtype, name="last")(x)
         return x

@@ -156,6 +156,7 @@ class MatrixLSTMCell(nn.Module):
     dim: int
     num_heads: int
     chunk_size: int = 128
+    use_pallas: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -176,11 +177,19 @@ class MatrixLSTMCell(nn.Module):
         )(gate_in.astype(jnp.float32))
 
         to_heads = lambda t: t.reshape(B, S, NH, DH).transpose(0, 2, 1, 3)
-        h = mlstm_chunkwise(
-            to_heads(q), to_heads(k), to_heads(v),
-            igate.transpose(0, 2, 1), fgate.transpose(0, 2, 1),
-            chunk_size=self.chunk_size,
-        )
+        if self.use_pallas:
+            from xlstm_hved_tpu.ops.mlstm_pallas import mlstm_pallas
+            h = mlstm_pallas(
+                to_heads(q), to_heads(k), to_heads(v),
+                igate.transpose(0, 2, 1), fgate.transpose(0, 2, 1),
+                self.chunk_size,
+            )
+        else:
+            h = mlstm_chunkwise(
+                to_heads(q), to_heads(k), to_heads(v),
+                igate.transpose(0, 2, 1), fgate.transpose(0, 2, 1),
+                chunk_size=self.chunk_size,
+            )
         h = MultiHeadLayerNorm(name="outnorm")(h)
         return h.transpose(0, 2, 1, 3).reshape(B, S, -1)
 
@@ -196,6 +205,7 @@ class ViLLayer(nn.Module):
     conv_bias: bool = True
     kernel_size: int = 4
     chunk_size: int = 128
+    use_pallas: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -226,7 +236,8 @@ class ViLLayer(nn.Module):
                                  name="v_proj")(x_mlstm)
 
         h = MatrixLSTMCell(inner, qkv_block, chunk_size=self.chunk_size,
-                           dtype=self.dtype, name="mlstm_cell")(q, k, v)
+                           use_pallas=self.use_pallas, dtype=self.dtype,
+                           name="mlstm_cell")(q, k, v)
         skip = self.param("learnable_skip", nn.initializers.ones, (inner,))
         h = h.astype(x_conv_act.dtype) + skip * x_conv_act
 
@@ -246,13 +257,15 @@ class ViLBlock(nn.Module):
     dim: int
     reverse: bool = False
     chunk_size: int = 128
+    use_pallas: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
         y = ResidualLayerNorm(name="norm")(x)
         y = ViLLayer(self.dim, reverse=self.reverse, chunk_size=self.chunk_size,
-                     dtype=self.dtype, name="layer")(y)
+                     use_pallas=self.use_pallas, dtype=self.dtype,
+                     name="layer")(y)
         return x + y
 
 
@@ -265,6 +278,7 @@ class ViLLayer3D(nn.Module):
     dim: int
     channel_token: bool = False
     chunk_size: int = 128
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -276,7 +290,8 @@ class ViLLayer3D(nn.Module):
             spatial = x.shape[1:4]
             c = x.shape[-1]
             flat = x.reshape(b, -1, c).transpose(0, 2, 1)  # (B, C, S)
-            y = ViLBlock(self.dim, chunk_size=self.chunk_size, name="vil")(flat)
+            y = ViLBlock(self.dim, chunk_size=self.chunk_size,
+                         use_pallas=self.use_pallas, name="vil")(flat)
             y = y.transpose(0, 2, 1).reshape(b, *spatial, c)
         else:
             b = x.shape[0]
@@ -284,7 +299,8 @@ class ViLLayer3D(nn.Module):
             c = x.shape[-1]
             assert c == self.dim
             flat = x.reshape(b, -1, c)  # row-major DHW token order
-            y = ViLBlock(self.dim, chunk_size=self.chunk_size, name="vil")(flat)
+            y = ViLBlock(self.dim, chunk_size=self.chunk_size,
+                         use_pallas=self.use_pallas, name="vil")(flat)
             y = y.reshape(b, *spatial, c)
         return y.astype(orig_dtype)
 

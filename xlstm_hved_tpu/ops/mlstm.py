@@ -121,14 +121,20 @@ def mlstm_chunkwise(
     chunk_size: int = 128,
     eps: float = MLSTM_EPS,
     use_remat: bool = True,
-) -> jnp.ndarray:
+    init_state=None,
+    return_state: bool = False,
+):
     """Linear-in-S chunkwise mLSTM, numerically identical to
     `mlstm_quadratic` (up to fp assoc.) with O(S*L + DH^2) memory.
 
     Args:
         q, k, v: (B, NH, S, DH); igate/fgate: (B, NH, S).
+        init_state: optional boundary state (C, n, m) with shapes
+            (B, NH, DH, DH), (B, NH, DH), (B, NH) — e.g. carried in from the
+            preceding sequence shard (parallel/seq.py).
+        return_state: also return the final boundary state.
     Returns:
-        (B, NH, S, DH) in fp32.
+        (B, NH, S, DH) fp32 h (and the final (C, n, m) if return_state).
     """
     B, NH, S, DH = q.shape
     L = min(chunk_size, S)
@@ -137,9 +143,11 @@ def mlstm_chunkwise(
         qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
         kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
         vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        # Padded keys must contribute nothing: igate -> -inf-ish.
+        # Padded keys must contribute nothing: igate -> -inf-ish; padded
+        # forget gates -> +inf so log_sigmoid = 0 (no spurious decay of the
+        # carried state when return_state is used).
         ip = jnp.pad(igate, ((0, 0), (0, 0), (0, pad)), constant_values=-1e30)
-        fp = jnp.pad(fgate, ((0, 0), (0, 0), (0, pad)))
+        fp = jnp.pad(fgate, ((0, 0), (0, 0), (0, pad)), constant_values=1e30)
     else:
         qp, kp, vp, ip, fp = q, k, v, igate, fgate
     Sp = S + pad
@@ -148,25 +156,43 @@ def mlstm_chunkwise(
     f32 = jnp.float32
     lf = _log_sigmoid(fp.astype(f32))
 
-    def per_head(qh, kh, vh, ih, lfh):
+    if init_state is None:
+        flat_init = None
+    else:
+        c0, n0, m0 = init_state
+        flat_init = (c0.reshape(B * NH, DH, DH).astype(f32),
+                     n0.reshape(B * NH, DH).astype(f32),
+                     m0.reshape(B * NH).astype(f32))
+
+    def per_head(qh, kh, vh, ih, lfh, st):
         # (Sp, DH) -> chunked (nchunks, L, DH)
         qc = qh.reshape(nchunks, L, DH).astype(f32)
         kc = kh.reshape(nchunks, L, DH).astype(f32)
         vc = vh.reshape(nchunks, L, DH).astype(f32)
         ic = ih.reshape(nchunks, L).astype(f32)
         lfc = lfh.reshape(nchunks, L)
-        init = (
-            jnp.zeros((DH, DH), f32),
-            jnp.zeros((DH,), f32),
-            jnp.float32(-jnp.inf),
-        )
+        if st is None:
+            init = (jnp.zeros((DH, DH), f32), jnp.zeros((DH,), f32),
+                    jnp.float32(-jnp.inf))
+        else:
+            init = st
         body = functools.partial(_chunk_scan_body, eps=eps)
         if use_remat:
             body = jax.checkpoint(body)
-        _, h = jax.lax.scan(body, init, (qc, kc, vc, ic, lfc))
-        return h.reshape(Sp, DH)
+        final, h = jax.lax.scan(body, init, (qc, kc, vc, ic, lfc))
+        return h.reshape(Sp, DH), final
 
     flat = lambda x: x.reshape((B * NH,) + x.shape[2:])
-    h = jax.vmap(per_head)(flat(qp), flat(kp), flat(vp), flat(ip), flat(lf))
-    h = h.reshape(B, NH, Sp, DH)
-    return h[:, :, :S]
+    if flat_init is None:
+        h, final = jax.vmap(lambda a, b, c, d, e: per_head(a, b, c, d, e, None)
+                            )(flat(qp), flat(kp), flat(vp), flat(ip), flat(lf))
+    else:
+        h, final = jax.vmap(per_head)(flat(qp), flat(kp), flat(vp), flat(ip),
+                                      flat(lf), flat_init)
+    h = h.reshape(B, NH, Sp, DH)[:, :, :S]
+    if not return_state:
+        return h
+    c_f, n_f, m_f = final
+    state = (c_f.reshape(B, NH, DH, DH), n_f.reshape(B, NH, DH),
+             m_f.reshape(B, NH))
+    return h, state
