@@ -2,15 +2,20 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Methodology: the tunneled-TPU relay both caches repeat executions with
+identical inputs AND adds ~100 ms dispatch latency per host round-trip, so
+neither naive repetition nor host-chained dependencies measure device
+throughput. Instead the forward runs inside one jitted on-device fori_loop
+with per-iteration input perturbation, and the per-volume time is the slope
+between an N=4 and an N=20 loop (subtracting fixed dispatch cost).
+
 Baseline context (BASELINE.md): the reference publishes no numbers; the
 rebuild target is >=5x estimated A100 reference throughput. The reference's
-PyTorch forward at 128^3 materializes the O(S^2) mLSTM decay matrix
-(S=4096 at /8 for 128^3) and runs ~50 cuDNN conv layers at f_maps=4; a
-measured-equivalent A100 figure for the full seg+recon sliding-window forward
-is ~2.2 vol/s (fp16, batch 1). vs_baseline = value / (5 * 2.2) — i.e. 1.0
-means the 5x-A100 target is met exactly.
+PyTorch forward at 128^3 materializes the O(S^2) mLSTM decay matrix and runs
+~50 cuDNN conv layers at f_maps=4; the measured-equivalent A100 figure for
+the full seg+recon forward is ~2.2 vol/s (fp16, batch 1).
+vs_baseline = value / (5 * 2.2) — 1.0 means the 5x-A100 target is met.
 """
-import functools
 import json
 import time
 
@@ -19,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_REFERENCE_VOLS_PER_SEC = 2.2
-TARGET_MULTIPLier = 5.0
+TARGET_MULTIPLIER = 5.0
 
 
 def main():
@@ -28,32 +33,36 @@ def main():
 
     model = find_model_using_name("XLSTM_HVED", compute_dtype="bfloat16")
     shape = (1, 128, 128, 128, 4)
-    x = jnp.asarray(np.random.RandomState(0).rand(*shape), jnp.float32)
+    x0 = jnp.asarray(np.random.RandomState(0).rand(*shape), jnp.float32)
     variables = jax.jit(lambda k, x: model.init(k, x, deterministic=True))(
-        {"params": jax.random.PRNGKey(0), "latent": jax.random.PRNGKey(1)}, x)
-
-    fwd = jax.jit(functools.partial(model.apply, recon=True,
-                                    deterministic=True))
+        {"params": jax.random.PRNGKey(0), "latent": jax.random.PRNGKey(1)}, x0)
     keep = jnp.asarray(SUBSET_MASKS[14])
 
-    # warmup / compile
-    out = fwd(variables, x, keep=keep)
-    jax.block_until_ready(out.seg)
+    def one(xi):
+        out = model.apply(variables, xi, keep=keep, recon=True,
+                          deterministic=True)
+        return jnp.mean(out.seg) + jnp.mean(out.recon)
 
-    # Chain a data dependency through the loop: the axon relay caches
-    # executions with identical literal inputs, so independent repeats
-    # measure cache hits, not compute.
-    n_iters = 20
-    t0 = time.perf_counter()
-    xi = x
-    for _ in range(n_iters):
-        out = fwd(variables, xi, keep=keep)
-        xi = x + 0.0 * out.recon
-    jax.block_until_ready(xi)
-    dt = (time.perf_counter() - t0) / n_iters
+    def loop_time(n):
+        @jax.jit
+        def run(x):
+            def body(i, acc):
+                return acc + one(x + acc * 1e-6 + i * 1e-4)
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    vols_per_sec = shape[0] / dt
-    target = TARGET_MULTIPLier * A100_REFERENCE_VOLS_PER_SEC
+        jax.block_until_ready(run(x0))  # compile
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(x0))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_small, t_large = loop_time(4), loop_time(20)
+    per_volume = (t_large - t_small) / 16.0
+
+    vols_per_sec = shape[0] / per_volume
+    target = TARGET_MULTIPLIER * A100_REFERENCE_VOLS_PER_SEC
     print(json.dumps({
         "metric": "xlstm_hved_seg_recon_inference_128cubed",
         "value": round(vols_per_sec, 3),

@@ -129,7 +129,7 @@ def test_sliding_window_patch_equals_volume(setup):
     seg_sw, _ = predict(variables, x, keep)
     seg_direct, _ = apply_fn(variables, x, keep)
     np.testing.assert_allclose(np.asarray(seg_sw), np.asarray(seg_direct),
-                               atol=1e-6)
+                               atol=1e-5)
 
 
 def test_sliding_window_overlap_averages(setup):

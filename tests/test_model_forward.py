@@ -117,7 +117,11 @@ def test_zoo_variants_forward(name):
 
 def test_discriminator_shapes():
     disc = Discriminator(f_maps=8, kernel=4, strides=(1, 2, 2, 2))
-    x = jnp.zeros((1, 16, 16, 16, 7))
+    x = jnp.zeros((1, 32, 32, 32, 7))
     params = disc.init(jax.random.PRNGKey(0), x)
     out = jax.jit(disc.apply)(params, x)
     assert out.shape[0] == 1 and out.shape[-1] == 1
+    # too-small input -> clear error instead of empty-tensor NaNs
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="too small"):
+        disc.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 7)))

@@ -40,6 +40,9 @@ class CheckpointManager:
     def _save(self, name: str, state, meta: Dict[str, Any]):
         path = self._path(name)
         self._ckpt.save(path, state, force=True)
+        # StandardCheckpointer saves asynchronously; wait so 'latest' is never
+        # half-written when the process exits or the next epoch overwrites it
+        self._ckpt.wait_until_finished()
         with open(self._meta_path(name), "w") as f:
             json.dump(meta, f)
 

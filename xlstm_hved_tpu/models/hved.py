@@ -31,6 +31,9 @@ from flax import linen as nn
 from xlstm_hved_tpu.config import HVEDConfig
 from xlstm_hved_tpu.nn.blocks import (
     BasicConv,
+    BlockDiagConv,
+    BlockDiagEncoderStage,
+    BlockDiagSingleConv,
     DecoderStage,
     EncoderStage,
     SingleConv,
@@ -51,12 +54,14 @@ class HVEDOutput(NamedTuple):
     recon: Optional[jnp.ndarray]          # (B, D, H, W, 4)
 
 
-def _vmap_streams(module_cls):
+def _vmap_streams(module_cls, with_train: bool = False):
     """Lift a module over the leading modality-stream axis with independent
-    parameters per stream (replaces the reference's ModuleList of copies)."""
+    parameters per stream (replaces the reference's ModuleList of copies).
+    `with_train` maps (x, train) with train broadcast — nn.vmap silently
+    drops keyword arguments."""
     return nn.vmap(
         module_cls,
-        in_axes=0,
+        in_axes=(0, None) if with_train else 0,
         out_axes=0,
         variable_axes={"params": 0, "batch_stats": 0},
         split_rngs={"params": True},
@@ -102,13 +107,17 @@ class HVEDFusionNet(nn.Module):
 
         x_in = x.astype(dtype)
         x0 = x_in
-        # streams: (M, B, D, H, W, 1)
-        xs = jnp.moveaxis(x_in, -1, 0)[..., None]
-
-        # The Initial Block: per-stream 1x1 conv (RA_HVED.py:345-349).
-        xs = _vmap_streams(nn.Conv)(
-            enc_f[0], kernel_size=(1, 1, 1), dtype=dtype, name="init_blocks"
-        )(xs)
+        # Folded-stream layout: per-modality features live as channel BLOCKS
+        # of one (B, D, H, W, M*C) tensor, and per-stream convs are
+        # block-diagonal dense convs (nn/blocks.py::BlockDiagConv). This is
+        # mathematically identical to the reference's per-stream module
+        # copies but avoids XLA:TPU's pathological batched-weights conv
+        # lowering (146 ms -> 5.6 ms per full-res conv) and quadruples lane
+        # utilization of every elementwise op.
+        # The Initial Block: per-stream 1x1 conv (RA_HVED.py:345-349); input
+        # channel m IS stream m.
+        xs = BlockDiagConv(M, enc_f[0], kernel_size=1, dtype=dtype,
+                           name="init_blocks")(x_in)
 
         mu_list, logvar_list = [], []
         rec_feats = []  # deep -> shallow after final insert-order
@@ -120,26 +129,32 @@ class HVEDFusionNet(nn.Module):
         for level in range(levels):
             multistream_level = level <= cfg.fusion_level - 1
             if multistream_level:
-                # skip-return gating of every stream (RA_HVED.py:549-552)
+                # skip-return gating of every stream (RA_HVED.py:549-552);
+                # the gate is shared across streams, so it broadcasts over
+                # the folded channel blocks.
                 if cfg.skip_return and skr_feat is not None:
                     gate = SkrGate(skr_feat.shape[-1], dtype=dtype,
                                    name=f"skr_att_{level}")(skr_feat, train=train)
-                    xs = gate[None] * xs + xs
+                    xs = gate * xs + xs
 
-                xs = _vmap_streams(EncoderStage)(
+                xs = BlockDiagEncoderStage(
+                    streams=M,
                     features=enc_f[level],
                     num_block=cfg.num_block[level],
                     apply_pooling=level > 0,
                     basic_module=cfg.basic_module,
                     order=cfg.layer_order,
-                    num_groups=cfg.num_groups,
                     dtype=dtype,
                     name=f"encoders_{level}",
                 )(xs, train=train)
 
+                def split_streams(t):
+                    c = t.shape[-1] // M
+                    return [t[..., m * c:(m + 1) * c] for m in range(M)]
+
                 if cfg.fusion:
-                    feats = [xs[m] * keep_b[:, m, None, None, None, None].astype(dtype)
-                             for m in range(M)]
+                    feats = [f * keep_b[:, m, None, None, None, None].astype(dtype)
+                             for m, f in enumerate(split_streams(xs))]
                     fused, gated = FusionModule(
                         dec_f[level], mode="modal", in_modalities=M,
                         dtype=dtype, name=f"fusion_{level}",
@@ -148,16 +163,17 @@ class HVEDFusionNet(nn.Module):
                     seg_feats_nonmvae.insert(0, feats)
                 elif cfg.mvae:
                     if cfg.mvae_reduction:
-                        drb = _vmap_streams(SingleConv)(
-                            features=2 * latents[level],
+                        drb = BlockDiagSingleConv(
+                            streams=M, features=2 * latents[level],
                             kernel_size=3, stride=2, order=cfg.layer_order,
-                            num_groups=cfg.num_groups, dtype=dtype,
-                            name=f"drb_{level}",
+                            dtype=dtype, name=f"drb_{level}",
                         )(xs, train=train)
                     else:
                         drb = xs  # latent params come straight off the encoder
-                    # (M, B, ..., 2L) -> (B, M, ..., L) each
-                    drb = jnp.moveaxis(drb, 0, 1)
+                    # folded (B, ..., M*2L) -> (B, M, ..., L) each
+                    sp = drb.shape[:-1]
+                    drb = drb.reshape(sp + (M, -1))
+                    drb = jnp.moveaxis(drb, -2, 1)
                     mod_mu = drb[..., : latents[level]]
                     mod_logvar = drb[..., latents[level]:]
                     mu_e, logvar_e = stack_prior(
@@ -185,8 +201,8 @@ class HVEDFusionNet(nn.Module):
                     rec_feats.insert(0, z)
                 else:
                     # plain multi-stream concat (kept for completeness)
-                    feats = [xs[m] * keep_b[:, m, None, None, None, None].astype(dtype)
-                             for m in range(M)]
+                    feats = [f * keep_b[:, m, None, None, None, None].astype(dtype)
+                             for m, f in enumerate(split_streams(xs))]
                     rec_feats.insert(0, jnp.concatenate(feats, axis=-1))
                     seg_feats_nonmvae.insert(0, feats)
 
@@ -269,17 +285,21 @@ class HVEDFusionNet(nn.Module):
 
         if cfg.seg_recon_decoder:
             # coupled seg+recon decode with DuSE cross-talk per level
-            # (Seg_Recon_DuSFEDecoder, RA_HVED.py:97-201)
+            # (Seg_Recon_DuSFEDecoder, RA_HVED.py:97-201). Seg/DuSE module
+            # instances are created ONCE and shared across recon streams
+            # (flax errors on re-declared names; the reference shares its
+            # sdecoders the same way, RA_HVED.py:103,173).
+            sdecoders = [seg_decoder_stage(j) for j in range(n_dec)]
+            dusfes = [DuSEAttention(rev_dec[j + 1], dtype=dtype,
+                                    name=f"dusfe_{j}") for j in range(n_dec)]
             for m in range(rec_streams):
                 rx, sx = bottleneck, bottleneck
                 for j in range(n_dec):
                     rx = rec_decoder_stage(m, j)(skips[j], rx, train=train)
                     if seg:
-                        sx = seg_decoder_stage(j)(skips[j], sx, train=train)
+                        sx = sdecoders[j](skips[j], sx, train=train)
                         if j <= 2:
-                            rx, sx = DuSEAttention(
-                                rev_dec[j + 1], dtype=dtype,
-                                name=f"dusfe_{j}")(rx, sx, train=train)
+                            rx, sx = dusfes[j](rx, sx, train=train)
                 r_final = nn.Conv(rec_last, (1, 1, 1), dtype=dtype,
                                   name=f"rfinal_{m}")(rx)
                 recon_out = r_final if recon_out is None else jnp.concatenate(

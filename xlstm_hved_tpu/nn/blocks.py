@@ -23,7 +23,34 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from xlstm_hved_tpu.ops.conv3d import conv3d_slab
+
 Dtype = Any
+
+
+class Conv3DFast(nn.Module):
+    """3D conv via the 2D-slab decomposition (ops/conv3d.py) with
+    torch-style symmetric padding; use for odd kernels (the whole model)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    use_bias: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.he_normal(),
+            (k, k, k, cin, self.features))
+        dtype = self.dtype or x.dtype
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        return conv3d_slab(x.astype(dtype), kernel.astype(dtype),
+                           stride=self.stride,
+                           bias=None if bias is None else bias)
 
 
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
@@ -77,20 +104,13 @@ class SingleConv(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         assert "c" in self.order, "conv must be present in layer order"
         bias = not ("g" in self.order or "b" in self.order)
         for char in self.order:
             if char == "c":
-                x = nn.Conv(
-                    self.features,
-                    kernel_size=(self.kernel_size,) * 3,
-                    strides=(self.stride,) * 3,
-                    padding="SAME",
-                    use_bias=bias,
-                    dtype=self.dtype,
-                    kernel_init=nn.initializers.he_normal(),
-                )(x)
+                x = Conv3DFast(self.features, self.kernel_size, self.stride,
+                               use_bias=bias, dtype=self.dtype)(x)
             elif char == "i":
                 x = instance_norm(x)
             elif char == "l":
@@ -124,7 +144,7 @@ class DoubleConv(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         in_ch = x.shape[-1]
         if self.encoder:
             mid = max(self.features // 2, in_ch)
@@ -150,7 +170,7 @@ class ExtResNetBlock(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         out = SingleConv(self.features, self.kernel_size, 1, self.order,
                          self.num_groups, dtype=self.dtype, name="conv1")(x, train=train)
         residual = out
@@ -175,16 +195,17 @@ class BasicConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(
-            self.features,
-            kernel_size=(self.kernel_size,) * 3,
-            strides=(self.stride,) * 3,
-            padding="SAME",
-            feature_group_count=self.groups,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            kernel_init=nn.initializers.he_normal(),
-        )(x)
+        if self.groups > 1:
+            # grouped/depthwise convs hit a slow XLA:TPU lowering; express as
+            # block-diagonal dense (see BlockDiagConv)
+            x = BlockDiagConv(self.groups, self.features // self.groups,
+                              self.kernel_size, self.stride,
+                              use_bias=self.use_bias, dtype=self.dtype,
+                              name="conv")(x)
+        else:
+            x = Conv3DFast(self.features, self.kernel_size, self.stride,
+                           use_bias=self.use_bias, dtype=self.dtype,
+                           name="conv")(x)
         if self.norm:
             x = instance_norm(x)
         if self.relu:
@@ -207,7 +228,7 @@ class EncoderStage(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         if self.apply_pooling:
             if self.pool_type == "max":
                 x = max_pool3d(x)
@@ -265,17 +286,15 @@ class AttenModule2(nn.Module):
         spa_comp = pool(seg_x)  # (B, ..., 2)
 
         enc_spa = jnp.concatenate([spa_comp, pool(enc_x)], axis=-1)  # 4 ch
-        enc_scale = nn.Conv(expan * 4, (7, 7, 7), padding="SAME",
-                            feature_group_count=4, dtype=self.dtype,
-                            name="enc_spatial")(enc_spa)
+        enc_scale = BlockDiagConv(4, expan, kernel_size=7, dtype=self.dtype,
+                                  name="enc_spatial")(enc_spa)
         enc_scale = nn.Conv(1, (1, 1, 1), dtype=self.dtype,
                             name="enc_spatial2")(enc_scale)
         enc_scale = nn.sigmoid(enc_scale)
         s_enc_x = enc_x + enc_x * enc_scale
 
-        seg_scale = nn.Conv(expan * 2, (7, 7, 7), padding="SAME",
-                            feature_group_count=2, dtype=self.dtype,
-                            name="seg_spatial")(spa_comp)
+        seg_scale = BlockDiagConv(2, expan, kernel_size=7, dtype=self.dtype,
+                                  name="seg_spatial")(spa_comp)
         seg_scale = nn.Conv(1, (1, 1, 1), dtype=self.dtype,
                             name="seg_spatial2")(seg_scale)
         seg_scale = nn.sigmoid(seg_scale)
@@ -299,9 +318,9 @@ class AttenModule(nn.Module):
         spa_comp = pool(seg_x)
 
         recon_spa = jnp.concatenate([spa_comp] + [pool(r) for r in recon_x], axis=-1)
-        rec_scale = nn.Conv(expan * 2 * 5, (7, 7, 7), padding="SAME",
-                            feature_group_count=2 * 5, dtype=self.dtype,
-                            name="recon_spatial")(recon_spa)
+        rec_scale = BlockDiagConv(2 * 5, expan, kernel_size=7,
+                                  dtype=self.dtype,
+                                  name="recon_spatial")(recon_spa)
         rec_scale = nn.Conv(4, (1, 1, 1), dtype=self.dtype,
                             name="recon_spatial2")(rec_scale)
         rec_scale = nn.sigmoid(rec_scale)
@@ -311,9 +330,9 @@ class AttenModule(nn.Module):
                            name="input_comp")(s_recon)
 
         enc_spa = jnp.concatenate([spa_comp] + [pool(e) for e in enc_x], axis=-1)
-        enc_scale = nn.Conv(expan * 2 * 5, (7, 7, 7), padding="SAME",
-                            feature_group_count=2 * 5, dtype=self.dtype,
-                            name="enc_spatial")(enc_spa)
+        enc_scale = BlockDiagConv(2 * 5, expan, kernel_size=7,
+                                  dtype=self.dtype,
+                                  name="enc_spatial")(enc_spa)
         enc_scale = nn.Conv(4, (1, 1, 1), dtype=self.dtype,
                             name="enc_spatial2")(enc_scale)
         enc_scale = nn.sigmoid(enc_scale)
@@ -322,9 +341,8 @@ class AttenModule(nn.Module):
 
         scaled_recon_x = comp_x + s_enc
 
-        seg_scale = nn.Conv(expan * 2, (7, 7, 7), padding="SAME",
-                            feature_group_count=2, dtype=self.dtype,
-                            name="seg_spatial")(spa_comp)
+        seg_scale = BlockDiagConv(2, expan, kernel_size=7, dtype=self.dtype,
+                                  name="seg_spatial")(spa_comp)
         seg_scale = nn.Conv(1, (1, 1, 1), dtype=self.dtype,
                             name="seg_spatial2")(seg_scale)
         seg_scale = nn.sigmoid(seg_scale)
@@ -348,7 +366,7 @@ class DecoderStage(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, encoder_features, x, up_size=None, *, train: bool = False):
+    def __call__(self, encoder_features, x, up_size=None, train: bool = False):
         transposed = self.basic_module == "ext_resnet"
         if transposed:
             # reference's ResNet path: conv1x1 to target channels + interp,
@@ -382,4 +400,162 @@ class DecoderStage(nn.Module):
                    kernel_size=self.kernel_size, order=self.order,
                    num_groups=self.num_groups, dtype=self.dtype,
                    name="basic")(x, train=train)
+        return x
+
+
+class BlockDiagConv(nn.Module):
+    """M independent per-stream convs expressed as ONE dense conv with a
+    block-diagonal kernel on the folded channel axis (B, ..., M*Cin) ->
+    (B, ..., M*Cout).
+
+    Mathematically identical to vmapping a conv over a stacked stream axis
+    (the reference's per-modality ModuleList copies), but avoids XLA:TPU's
+    catastrophically slow batched-weights (lhs-dilated) conv lowering: at
+    128^3 with C=4, the vmapped form measures 146 ms vs 5.6 ms for this dense
+    block-diagonal form. Off-block kernel entries are structural zeros (they
+    are never parameters), so gradients/updates cannot leak across streams.
+    Also used for grouped (feature_group_count) and depthwise convs, whose
+    grouped lowering is similarly slow.
+    """
+
+    streams: int
+    features: int  # per-stream output channels
+    kernel_size: int = 3
+    stride: int = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    padding: Any = "SAME"
+
+    @nn.compact
+    def __call__(self, x):
+        M = self.streams
+        cin_total = x.shape[-1]
+        assert cin_total % M == 0, (cin_total, M)
+        cin = cin_total // M
+        cout = self.features
+        k = self.kernel_size
+        fan_in = cin * k ** 3
+        kernel = self.param(
+            "kernel",
+            nn.initializers.normal(stddev=(2.0 / fan_in) ** 0.5),
+            (M, k, k, k, cin, cout),
+        )
+        dtype = self.dtype or x.dtype
+        # scatter per-stream blocks into the dense (k,k,k, M*cin, M*cout)
+        # kernel; the zeros are compile-time structural
+        dense = jnp.zeros((k, k, k, M * cin, M * cout), dtype)
+        for m in range(M):
+            dense = jax.lax.dynamic_update_slice(
+                dense, kernel[m].astype(dtype), (0, 0, 0, m * cin, m * cout))
+        y = conv3d_slab(x.astype(dtype), dense, stride=self.stride)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (M, cout))
+            y = y + bias.reshape(-1).astype(dtype)
+        return y
+
+
+class BlockDiagSingleConv(nn.Module):
+    """SingleConv on the folded stream-channel layout: layer-order string
+    with block-diagonal convs. InstanceNorm stays per-channel (equivalent to
+    per-stream). GroupNorm/BatchNorm orders are not supported in folded mode
+    (every zoo preset uses 'ilc')."""
+
+    streams: int
+    features: int  # per-stream output channels
+    kernel_size: int = 3
+    stride: int = 1
+    order: str = "ilc"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert "c" in self.order
+        for char in self.order:
+            if char == "c":
+                x = BlockDiagConv(self.streams, self.features,
+                                  self.kernel_size, self.stride,
+                                  use_bias=True, dtype=self.dtype,
+                                  name="conv")(x)
+            elif char == "i":
+                x = instance_norm(x)
+            elif char == "l":
+                x = leaky_relu(x)
+            elif char == "r":
+                x = nn.relu(x)
+            elif char == "e":
+                x = nn.elu(x)
+            else:
+                raise NotImplementedError(
+                    f"layer-order {char!r} unsupported in folded-stream mode")
+        return x
+
+
+class BlockDiagDoubleConv(nn.Module):
+    """DoubleConv per stream on the folded layout (channel plan of
+    buildingblocks.py:486-507 applied per stream)."""
+
+    streams: int
+    features: int  # per-stream output channels
+    encoder: bool = False
+    kernel_size: int = 3
+    order: str = "ilc"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cin = x.shape[-1] // self.streams
+        mid = max(self.features // 2, cin) if self.encoder else self.features
+        x = BlockDiagSingleConv(self.streams, mid, self.kernel_size, 1,
+                                self.order, dtype=self.dtype,
+                                name="conv1")(x, train=train)
+        x = BlockDiagSingleConv(self.streams, self.features, self.kernel_size,
+                                1, self.order, dtype=self.dtype,
+                                name="conv2")(x, train=train)
+        return x
+
+
+class BlockDiagExtResNetBlock(nn.Module):
+    """ExtResNetBlock per stream on the folded layout."""
+
+    streams: int
+    features: int
+    encoder: bool = False
+    kernel_size: int = 3
+    order: str = "cge"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out = BlockDiagSingleConv(self.streams, self.features,
+                                  self.kernel_size, 1, self.order,
+                                  dtype=self.dtype, name="conv1")(x, train=train)
+        residual = out
+        out = BlockDiagSingleConv(self.streams, self.features,
+                                  self.kernel_size, 1, self.order,
+                                  dtype=self.dtype, name="conv2")(out, train=train)
+        return out + residual
+
+
+class BlockDiagEncoderStage(nn.Module):
+    """EncoderStage per stream on the folded layout."""
+
+    streams: int
+    features: int
+    num_block: int = 1
+    apply_pooling: bool = True
+    basic_module: str = "double_conv"
+    kernel_size: int = 3
+    order: str = "ilc"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.apply_pooling:
+            x = max_pool3d(x)
+        block_cls = (BlockDiagExtResNetBlock if self.basic_module == "ext_resnet"
+                     else BlockDiagDoubleConv)
+        for i in range(self.num_block):
+            x = block_cls(self.streams, self.features, encoder=True,
+                          kernel_size=self.kernel_size, order=self.order,
+                          dtype=self.dtype, name=f"block{i}")(x, train=train)
         return x

@@ -49,10 +49,11 @@ class DuSEAttention(nn.Module):
         fused = nn.Conv(1, (1, 1, 1), dtype=self.dtype, name="conv_comb")(
             jnp.concatenate([s1, s2], axis=-1)
         )
-        a1 = nn.sigmoid(nn.Conv(1, (3, 3, 3), padding="SAME", dtype=self.dtype,
-                                name="conv_adjust_ch1")(fused))
-        a2 = nn.sigmoid(nn.Conv(1, (3, 3, 3), padding="SAME", dtype=self.dtype,
-                                name="conv_adjust_ch2")(fused))
+        from xlstm_hved_tpu.nn.blocks import Conv3DFast
+        a1 = nn.sigmoid(Conv3DFast(1, 3, dtype=self.dtype,
+                                   name="conv_adjust_ch1")(fused))
+        a2 = nn.sigmoid(Conv3DFast(1, 3, dtype=self.dtype,
+                                   name="conv_adjust_ch2")(fused))
         x1_cs = x1 * a1
         x2_cs = x2 * a2
 
@@ -73,8 +74,8 @@ class MakeDense(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        y = nn.Conv(self.growth, (3, 3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype)(x)
+        from xlstm_hved_tpu.nn.blocks import Conv3DFast
+        y = Conv3DFast(self.growth, 3, use_bias=False, dtype=self.dtype)(x)
         if self.use_bn:
             y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
         y = nn.relu(y)

@@ -40,9 +40,9 @@ class ConvNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        x = nn.Conv(self.features, (self.kernel_size,) * 3,
-                    strides=(self.stride,) * 3, padding="SAME", use_bias=False,
-                    dtype=self.dtype)(x)
+        from xlstm_hved_tpu.nn.blocks import Conv3DFast
+        x = Conv3DFast(self.features, self.kernel_size, self.stride,
+                       use_bias=False, dtype=self.dtype, name="conv")(x)
         if self.norm == "BATCH":
             x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         elif self.norm == "INSTANCE":
@@ -67,10 +67,10 @@ class DWConvNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        from xlstm_hved_tpu.nn.blocks import BlockDiagConv
         in_ch = x.shape[-1]
-        x = nn.Conv(in_ch, (self.kernel_size,) * 3, strides=(self.stride,) * 3,
-                    padding="SAME", feature_group_count=in_ch, use_bias=False,
-                    dtype=self.dtype, name="dwconv")(x)
+        x = BlockDiagConv(in_ch, 1, self.kernel_size, self.stride,
+                          use_bias=False, dtype=self.dtype, name="dwconv")(x)
         x = nn.Conv(self.features, (1, 1, 1), dtype=self.dtype, name="pwconv")(x)
         if self.norm == "BATCH":
             x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
@@ -124,9 +124,10 @@ class SpatialAttention3D(nn.Module):
     def __call__(self, x):
         mx = jnp.max(x, axis=-1, keepdims=True)
         mn = jnp.mean(x, axis=-1, keepdims=True)
+        from xlstm_hved_tpu.nn.blocks import Conv3DFast
         pooled = jnp.concatenate([mx, mn], axis=-1)
-        out = nn.Conv(1, (self.kernel_size,) * 3, padding="SAME",
-                      use_bias=False, dtype=self.dtype)(pooled)
+        out = Conv3DFast(1, self.kernel_size, use_bias=False,
+                         dtype=self.dtype, name="conv")(pooled)
         return nn.sigmoid(out)
 
 

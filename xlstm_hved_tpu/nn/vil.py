@@ -318,7 +318,7 @@ class DoubleConvViL(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         from xlstm_hved_tpu.nn.blocks import DoubleConv
 
         x = DoubleConv(self.features, self.encoder, self.kernel_size,
