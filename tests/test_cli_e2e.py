@@ -64,7 +64,7 @@ def test_test_cli_subset_sweep(dataset, tmp_path, capsys):
                         "--out_dir", out_dir, "--save_pred_dir", pred_dir])
     out = capsys.readouterr().out
     assert "Dice (WT / TC / ET) per subset" in out
-    assert out.count("subset ") == 15
+    assert sum(1 for l in out.splitlines() if l.startswith("subset ")) == 15
     assert "average" in out
     preds = os.listdir(pred_dir)
     assert len(preds) == 1 and preds[0].endswith("-pred.nii.gz")
@@ -87,3 +87,20 @@ def test_pretrain_cli_one_epoch(dataset, tmp_path):
     assert len(rows) == 2
     psnr_m = float(rows[1][5])
     assert np.isfinite(psnr_m)
+
+
+def test_test_cli_recon_and_plots(dataset, tmp_path):
+    from xlstm_hved_tpu.cli.test import main
+
+    train_dir, valid_dir = dataset
+    out_dir = str(tmp_path / "results")
+    plots = str(tmp_path / "plots")
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(ARGS_COMMON + ["--train_dir", train_dir, "--valid_dir", valid_dir,
+                            "--out_dir", out_dir, "--eval_recon",
+                            "--save_plots_dir", plots])
+    out = buf.getvalue()
+    assert "PSNR" in out and "SSIM" in out
+    assert os.path.isdir(plots) and len(os.listdir(plots)) >= 1

@@ -134,3 +134,45 @@ def test_hd95_identity_and_sentinel():
     assert 0 < hd95(m, shifted) <= 4.0
     assert hd95(np.zeros((4, 4, 4), bool), m) == 0.0
     assert HD95_SENTINEL == 373.13
+
+
+def test_conv3d_slab_matches_direct(rng):
+    """The 2D-slab conv must equal a direct torch-padded 3D conv (stride 1
+    and 2, odd kernels)."""
+    import jax
+    from xlstm_hved_tpu.ops.conv3d import conv3d_slab
+
+    x = jax.random.normal(rng, (2, 12, 10, 14, 5))
+    for k, stride in ((3, 1), (3, 2), (7, 1), (1, 1)):
+        w = jax.random.normal(jax.random.fold_in(rng, k), (k, k, k, 5, 6)) * 0.2
+        pad = (k - 1) // 2
+        ref = jax.lax.conv_general_dilated(
+            x, w, (stride,) * 3, [(pad, pad)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        out = conv3d_slab(x, w, stride=stride)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_conv3d_slab_gradients(rng):
+    import jax
+    from xlstm_hved_tpu.ops.conv3d import conv3d_slab
+
+    x = jax.random.normal(rng, (1, 6, 6, 6, 3))
+    w = jax.random.normal(jax.random.fold_in(rng, 1), (3, 3, 3, 3, 4)) * 0.2
+    pad = 1
+
+    def loss_slab(args):
+        return jnp.sum(jnp.sin(conv3d_slab(*args)))
+
+    def loss_ref(args):
+        x, w = args
+        return jnp.sum(jnp.sin(jax.lax.conv_general_dilated(
+            x, w, (1, 1, 1), [(pad, pad)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))))
+
+    g1 = jax.grad(loss_slab)((x, w))
+    g2 = jax.grad(loss_ref)((x, w))
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-4)

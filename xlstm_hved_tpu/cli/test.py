@@ -34,6 +34,11 @@ def main(argv=None):
     parser.add_argument("--ckpt", type=str, default="best_dice")
     parser.add_argument("--compute_hd95", action="store_true")
     parser.add_argument("--save_pred_dir", type=str, default="")
+    parser.add_argument("--eval_recon", action="store_true",
+                        help="also sweep reconstruction (PSNR/SSIM per "
+                             "subset; eval_overlap_recon equivalent)")
+    parser.add_argument("--save_plots_dir", type=str, default="",
+                        help="dump mid-slice segmentation overlays (PNG)")
     args = parser.parse_args(argv)
     print_args(args)
 
@@ -56,12 +61,16 @@ def main(argv=None):
     variables = {"params": state.params_g}
     if state.batch_stats_g:
         variables["batch_stats"] = state.batch_stats_g
-    sweep = make_subset_sweep(default_apply_fn(model), patch=cfg.crop_size,
-                              stride=cfg.crop_size, subset_chunk=5)
+    sweep = make_subset_sweep(
+        default_apply_fn(model, recon=args.eval_recon), patch=cfg.crop_size,
+        stride=cfg.crop_size, subset_chunk=5,
+        recon_channels=4 if args.eval_recon else 0)
 
     n_sub = len(SUBSETS_MODALITIES)
     dice_sums = np.zeros((n_sub, 3))
     hd_sums = np.zeros((n_sub, 3))
+    psnr_sums = np.zeros(n_sub)
+    ssim_sums = np.zeros(n_sub)
     count = 0
     for i in range(len(validset)):
         item = validset.load(i)
@@ -70,7 +79,13 @@ def main(argv=None):
         img, labels, _keep, _bg = item
         x, mask = device_eval_transform(jnp.asarray(img), jnp.asarray(labels),
                                         crop=tuple(cfg.crop_size))
-        segs = np.asarray(sweep(variables, x[None]))  # (15, 1, ..., 3)
+        if args.eval_recon:
+            segs, recons = sweep(variables, x[None])
+            segs = np.asarray(segs)
+            recons_j = recons
+        else:
+            segs = np.asarray(sweep(variables, x[None]))  # (15, 1, ..., 3)
+            recons_j = None
         mask_np = np.asarray(mask)[None]
         for s in range(n_sub):
             for r, region in enumerate(("WT", "TC", "EC")):
@@ -79,6 +94,15 @@ def main(argv=None):
                                 region))
                 if args.compute_hd95:
                     hd_sums[s, r] += hd95_region(segs[s], mask_np, region)
+        if args.eval_recon:
+            from xlstm_hved_tpu.metrics import psnr, ssim3d
+            for si in range(n_sub):
+                psnr_sums[si] += float(psnr(recons_j[si], x[None]))
+                ssim_sums[si] += float(ssim3d(recons_j[si], x[None]))
+        if args.save_plots_dir:
+            from xlstm_hved_tpu.utils.visualize import plot_segm
+            plot_segm(args.save_plots_dir, validset.subjects[i],
+                      np.asarray(x), segs[-1][0], np.asarray(mask))
         if args.save_pred_dir:
             os.makedirs(args.save_pred_dir, exist_ok=True)
             lab = label_volume_from_probs(segs[-1][0])
@@ -94,6 +118,9 @@ def main(argv=None):
         if args.compute_hd95:
             h = hd_sums[s] / max(count, 1)
             row += f"   HD95 {h[0]:7.2f} {h[1]:7.2f} {h[2]:7.2f}"
+        if args.eval_recon:
+            row += (f"   PSNR {psnr_sums[s]/max(count,1):6.2f}"
+                    f" SSIM {ssim_sums[s]/max(count,1):.4f}")
         print(row)
     avg = dice_sums.mean(axis=0) / max(count, 1)
     print(f"average{'':14s} {avg[0]:.4f} {avg[1]:.4f} {avg[2]:.4f}")

@@ -136,7 +136,21 @@ def make_subset_sweep(
         segs = jax.lax.map(run_chunk, chunks)
         return segs.reshape((-1,) + segs.shape[2:])
 
-    return sweep
+    if not recon_channels:
+        return sweep
+
+    @jax.jit
+    def sweep_with_recon(variables, x):
+        chunks = keeps.reshape(-1, subset_chunk, keeps.shape[1])
+
+        def run_chunk(keep_chunk):
+            return jax.vmap(lambda k: predict(variables, x, k))(keep_chunk)
+
+        segs, recons = jax.lax.map(run_chunk, chunks)
+        return (segs.reshape((-1,) + segs.shape[2:]),
+                recons.reshape((-1,) + recons.shape[2:]))
+
+    return sweep_with_recon
 
 
 def default_apply_fn(model, *, recon: bool = False):
