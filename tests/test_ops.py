@@ -176,3 +176,14 @@ def test_conv3d_slab_gradients(rng):
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
                                    rtol=1e-4)
+
+
+def test_warmup_schedules():
+    from xlstm_hved_tpu.utils.schedules import exponential_warmup, linear_warmup
+
+    base = lambda c: 1.0
+    lin = linear_warmup(base, 10)
+    assert abs(float(lin(0)) - 0.1) < 1e-6
+    assert float(lin(9)) == 1.0 and float(lin(100)) == 1.0
+    exp = exponential_warmup(base, 10)
+    assert 0 < float(exp(0)) < float(exp(5)) < 1.0
