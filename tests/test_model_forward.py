@@ -103,7 +103,8 @@ def test_seg_false_skips_seg(flagship):
     assert out.recon is not None
 
 
-@pytest.mark.parametrize("name", ["U_HVEDConvNet3D", "XLSTM_HVED_woDuSFE"])
+@pytest.mark.parametrize("name", ["U_HVEDConvNet3D", "XLSTM_HVED_woDuSFE",
+                                  "FusionUNet3D", "U_HVEDNet3D"])
 def test_zoo_variants_forward(name):
     model = find_model_using_name(name)
     x = jnp.asarray(np.random.RandomState(0).rand(*SHAPE), jnp.float32)
