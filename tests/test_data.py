@@ -49,6 +49,29 @@ def test_synthetic_dataset_and_loader(tmp_path):
     assert len(batches) == 2
 
 
+def test_prefetch_loader_host_sharding(tmp_path):
+    """shard=(pid, n) slices the identically-shuffled order disjointly —
+    the per-host data loading contract for multi-host data parallelism."""
+    root = write_synthetic_dataset(str(tmp_path / "brats"), n_subjects=4,
+                                   shape=(16, 16, 16))
+    ds = BraTSDataset(root, m_full=True, seed=0)
+
+    def first_voxels(shard):
+        out = []
+        for batch in prefetch_loader(ds, batch_size=1, epochs=1, seed=3,
+                                     shuffle=True, shard=shard):
+            img = batch[0][0]
+            out.append(float(np.sum(img)))  # content fingerprint
+        return out
+
+    host0 = first_voxels((0, 2))
+    host1 = first_voxels((1, 2))
+    assert len(host0) == 2 and len(host1) == 2
+    both = host0 + host1
+    assert len(set(both)) == 4  # disjoint, covering all subjects
+    assert sorted(both) == sorted(first_voxels(None))
+
+
 def test_modality_dropout_semantics():
     ds = BraTSDataset.__new__(BraTSDataset)
     ds.rng = np.random.RandomState(0)

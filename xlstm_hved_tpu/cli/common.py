@@ -44,7 +44,26 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--disc_kernel", type=int, default=4,
                    help="discriminator conv kernel (use 3 for crops < 48)")
     p.add_argument("--disc_fmaps", type=int, default=64)
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize, shard "
+                        "the dataset per host, rank-0-only checkpoints/logs")
+    p.add_argument("--coordinator_address", type=str, default="",
+                   help="host:port of process 0 (empty = auto-detect on TPU)")
+    p.add_argument("--num_processes", type=int, default=0)
+    p.add_argument("--process_id", type=int, default=-1)
     return p
+
+
+def maybe_init_distributed(args) -> Tuple[int, int]:
+    """Returns (process_id, process_count); initializes jax.distributed when
+    --distributed is set. Must run before any other jax call in the CLI."""
+    if getattr(args, "distributed", False):
+        from xlstm_hved_tpu.parallel.mesh import initialize_distributed
+        initialize_distributed(
+            args.coordinator_address or None,
+            args.num_processes or None,
+            args.process_id if args.process_id >= 0 else None)
+    return jax.process_index(), jax.process_count()
 
 
 def print_args(args) -> None:

@@ -21,6 +21,7 @@ from xlstm_hved_tpu.cli.common import (
     assemble_eval_batch,
     assemble_train_batch,
     base_parser,
+    maybe_init_distributed,
     print_args,
     train_cfg_from_args,
 )
@@ -45,7 +46,10 @@ CSV_FIELDS = [
 
 def main(argv=None):
     args = base_parser("Train a model (TPU-native XLSTM-HVED)").parse_args(argv)
-    print_args(args)
+    proc_id, proc_count = maybe_init_distributed(args)
+    is_main = proc_id == 0
+    if is_main:
+        print_args(args)
     rng = jax.random.PRNGKey(args.seed)
 
     trainset = BraTSDataset(args.train_dir, m_full=True, seed=args.seed)
@@ -72,9 +76,12 @@ def main(argv=None):
         state = state.replace(params_g=merged)
     state, epoch_start, best_vloss, best_dice = ckpt.load_or_initialize(state)
 
+    # args.train_batch is per-host; the mesh spans all global devices
+    global_batch = max(args.train_batch * proc_count, 1)
     n_dev = args.num_data_devices or len(jax.devices())
-    n_dev = min(n_dev, len(jax.devices()), max(args.train_batch, 1))
+    n_dev = min(n_dev, len(jax.devices()), global_batch)
     mesh = make_mesh(data=n_dev)
+    data_shard = (proc_id, proc_count) if proc_count > 1 else None
     train_step = make_train_step(model, disc, cfg, steps_per_epoch)
     eval_step = make_eval_step(model)
     csvlog = CSVLogger(f"{args.out_dir}/{args.model_name}/loss_and_metrics.csv",
@@ -87,7 +94,8 @@ def main(argv=None):
             tr = {k: RunningAverage() for k in
                   ("loss", "train_dice", "wt_dice", "tc_dice", "ec_dice")}
             for items in prefetch_loader(trainset, args.train_batch,
-                                         shuffle=True, seed=args.seed + epoch):
+                                         shuffle=True, seed=args.seed + epoch,
+                                         shard=data_shard):
                 rng, k_aug, k_step = jax.random.split(rng, 3)
                 x, _xm, mask = assemble_train_batch(items, cfg.crop_size, k_aug)
                 x, mask = shard_batch(mesh, (x, mask))
@@ -100,7 +108,8 @@ def main(argv=None):
                    "wt_dice_m", "tc_dice_m", "ec_dice_m")}
             if epoch < 5 or (epoch + 1) % args.validate_every == 0:
                 for items in prefetch_loader(validset, args.valid_batch,
-                                             shuffle=False, seed=0):
+                                             shuffle=False, seed=0,
+                                             shard=data_shard):
                     x, xm, mask = assemble_eval_batch(items, cfg.crop_size)
                     x, xm, mask = shard_batch(mesh, (x, xm, mask))
                     m = eval_step(state.params_g, state.batch_stats_g, x, xm,
@@ -108,9 +117,16 @@ def main(argv=None):
                     for k in va:
                         va[k].update(float(m[k]))
 
-            best_vloss, best_dice = ckpt.save_epoch(
-                state, epoch, va["vloss"].avg, va["dice"].avg,
-                best_vloss, best_dice)
+            if is_main:
+                best_vloss, best_dice = ckpt.save_epoch(
+                    state, epoch, va["vloss"].avg, va["dice"].avg,
+                    best_vloss, best_dice)
+            else:  # track bests without rank-0's checkpoint I/O
+                if va["vloss"].avg < best_vloss:
+                    best_vloss = va["vloss"].avg
+                if va["dice"].avg > best_dice:
+                    best_dice = va["dice"].avg
+                continue
             csvlog.append({
                 "Epoch": epoch, "Train_Loss": tr["loss"].avg,
                 "Train_dice": tr["train_dice"].avg,

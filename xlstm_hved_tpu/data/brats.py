@@ -85,10 +85,15 @@ class BraTSDataset:
 def prefetch_loader(dataset: BraTSDataset, batch_size: int = 1,
                     shuffle: bool = True, num_threads: int = 2,
                     drop_last: bool = True, seed: int = 0,
-                    epochs: Optional[int] = 1
+                    epochs: Optional[int] = 1,
+                    shard: Optional[Tuple[int, int]] = None
                     ) -> Iterator[List[Tuple]]:
     """Threaded prefetching iterator yielding lists of per-subject tuples
-    (batching/padding happens in the engine, which knows the crop size)."""
+    (batching/padding happens in the engine, which knows the crop size).
+
+    `shard=(process_id, process_count)` gives each host a disjoint strided
+    slice of the (identically seeded, hence identically shuffled) index
+    order — per-host data loading for multi-host data parallelism."""
     order_rng = np.random.RandomState(seed)
     q: "queue.Queue" = queue.Queue(maxsize=max(2 * batch_size, 4))
     stop = threading.Event()
@@ -99,6 +104,8 @@ def prefetch_loader(dataset: BraTSDataset, batch_size: int = 1,
             idxs = np.arange(len(dataset))
             if shuffle:
                 order_rng.shuffle(idxs)
+            if shard is not None:
+                idxs = idxs[shard[0]::shard[1]]
             for i in idxs:
                 if stop.is_set():
                     return

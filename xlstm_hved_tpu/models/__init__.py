@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from xlstm_hved_tpu.config import MODEL_ALIASES, MODEL_ZOO, HVEDConfig, get_config
 from xlstm_hved_tpu.models.hved import Discriminator, HVEDFusionNet, HVEDOutput
+from xlstm_hved_tpu.models.uxlstm import (UXlstmBot, UXlstmEnc,
+                                          build_uxlstm_from_plans)
 
 
 def find_model_using_name(name: str, **overrides) -> HVEDFusionNet:
@@ -21,7 +23,10 @@ __all__ = [
     "HVEDConfig",
     "HVEDFusionNet",
     "HVEDOutput",
+    "UXlstmBot",
+    "UXlstmEnc",
     "available_models",
+    "build_uxlstm_from_plans",
     "find_model_using_name",
     "get_config",
 ]

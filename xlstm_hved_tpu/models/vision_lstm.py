@@ -10,10 +10,39 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from xlstm_hved_tpu.nn.vil import ResidualLayerNorm, ViLBlock
+
+
+def interpolate_sincos(embed: jnp.ndarray, seqlens: Sequence[int],
+                       method: str = "cubic") -> jnp.ndarray:
+    """Resample a grid-shaped pos embed (1, *grid, dim) to a new grid
+    (reference interpolate_sincos, vision_lstm_util.py:28-36; bicubic)."""
+    assert embed.ndim - 2 == len(seqlens)
+    return jax.image.resize(
+        embed, (1, *seqlens, embed.shape[-1]), method=method)
+
+
+class VitPosEmbedND(nn.Module):
+    """Learned grid pos embed with resolution interpolation
+    (reference VitPosEmbed2d/3d, vision_lstm_util.py:84-130): the param is
+    stored at the train-time grid; at a different input resolution it is
+    bicubic-resampled, enabling train-small/finetune-large transfer."""
+
+    dim: int
+    seqlens: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, x):  # (B, *grid, dim)
+        embed = self.param(
+            "embed", nn.initializers.truncated_normal(stddev=0.02),
+            (1, *self.seqlens, self.dim))
+        if x.shape[1:] != embed.shape[1:]:
+            embed = interpolate_sincos(embed, x.shape[1:-1])
+        return x + embed.astype(x.dtype)
 
 
 class PatchEmbed(nn.Module):
@@ -41,14 +70,22 @@ class VisionLSTMEncoder(nn.Module):
     dim: int = 192
     depth: int = 12
     chunk_size: int = 128
+    seqlens: Optional[Tuple[int, ...]] = None
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, tokens):
+    def __call__(self, tokens, grid: Optional[Tuple[int, ...]] = None):
         B, S, _ = tokens.shape
-        pos = self.param("pos_embed", nn.initializers.normal(stddev=0.02),
-                         (1, S, self.dim))
-        x = tokens + pos
+        if self.seqlens is not None:
+            # grid-shaped embed, resolution-interpolatable (VitPosEmbed)
+            g = tuple(grid) if grid is not None else tuple(self.seqlens)
+            x = VitPosEmbedND(self.dim, tuple(self.seqlens),
+                              name="pos_embed_nd")(
+                tokens.reshape(B, *g, self.dim)).reshape(B, S, self.dim)
+        else:
+            pos = self.param("pos_embed", nn.initializers.normal(stddev=0.02),
+                             (1, S, self.dim))
+            x = tokens + pos
         for i in range(self.depth):
             x = ViLBlock(self.dim, reverse=i % 2 == 1,
                          chunk_size=self.chunk_size, dtype=self.dtype,
@@ -70,14 +107,18 @@ class VisionLSTM(nn.Module):
     num_classes: int = 1000
     patch_size: int = 16
     chunk_size: int = 128
+    pos_grid: Optional[Tuple[int, ...]] = None  # train-time grid, for
+    # resolution transfer (pos embed interpolates to other input sizes)
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
-        tokens, _grid = PatchEmbed(self.dim, self.patch_size, 2,
-                                   dtype=self.dtype, name="patch_embed")(x)
+        tokens, grid = PatchEmbed(self.dim, self.patch_size, 2,
+                                  dtype=self.dtype, name="patch_embed")(x)
         x = VisionLSTMEncoder(self.dim, self.depth, self.chunk_size,
-                              dtype=self.dtype, name="encoder")(tokens)
+                              seqlens=tuple(self.pos_grid or grid),
+                              dtype=self.dtype,
+                              name="encoder")(tokens, grid=grid)
         pooled = bilateral_avg(x)
         return nn.Dense(self.num_classes, dtype=self.dtype,
                         name="head")(pooled)
@@ -91,14 +132,17 @@ class VisionLSTM3D(nn.Module):
     num_classes: int = 2
     patch_size: int = 8
     chunk_size: int = 128
+    pos_grid: Optional[Tuple[int, ...]] = None
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):  # (B, D, H, W, C)
-        tokens, _grid = PatchEmbed(self.dim, self.patch_size, 3,
-                                   dtype=self.dtype, name="patch_embed")(x)
+        tokens, grid = PatchEmbed(self.dim, self.patch_size, 3,
+                                  dtype=self.dtype, name="patch_embed")(x)
         x = VisionLSTMEncoder(self.dim, self.depth, self.chunk_size,
-                              dtype=self.dtype, name="encoder")(tokens)
+                              seqlens=tuple(self.pos_grid or grid),
+                              dtype=self.dtype,
+                              name="encoder")(tokens, grid=grid)
         pooled = bilateral_avg(x)
         return nn.Dense(self.num_classes, dtype=self.dtype,
                         name="head")(pooled)

@@ -99,3 +99,53 @@ class RDB(nn.Module):
         y = nn.Conv(self.features, (1, 1, 1), use_bias=False, dtype=self.dtype,
                     name="conv_1x1")(y)
         return y + x
+
+
+class DuRegisterDuSE(nn.Module):
+    """Dual-branch cross-modality rigid-registration head (reference
+    DuRegister_DuSE, /root/reference/modules/DuSFE.py:11-83): per-branch
+    conv+BN stem, three levels of (RDB -> DuSE cross-talk -> avg-pool /2),
+    concat -> RDB -> conv stack -> MLP emitting 6 rigid transform params.
+
+    The reference hardcodes the flatten width to a 80x80x40 input
+    (fc1 = Linear(16*10*10*5, ...), DuSFE.py:40); here the MLP adapts to
+    whatever spatial size reaches it (flax shape inference), so any
+    /8-divisible volume works.
+    """
+
+    features: int = 32
+    out_params: int = 6
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x1, x2, *, train: bool = False):
+        from xlstm_hved_tpu.nn.blocks import Conv3DFast, avg_pool3d
+
+        c = self.features
+        x1 = nn.relu(nn.BatchNorm(use_running_average=not train,
+                                  dtype=self.dtype, name="bn_in_c1")(
+            Conv3DFast(c, 3, dtype=self.dtype, name="conv_in_c1")(x1)))
+        x2 = nn.relu(nn.BatchNorm(use_running_average=not train,
+                                  dtype=self.dtype, name="bn_in_c2")(
+            Conv3DFast(c, 3, dtype=self.dtype, name="conv_in_c2")(x2)))
+        for lvl in range(3):
+            x1 = RDB(c, dtype=self.dtype, name=f"rdb{lvl}_c1")(x1, train=train)
+            x2 = RDB(c, dtype=self.dtype, name=f"rdb{lvl}_c2")(x2, train=train)
+            x1, x2 = DuSEAttention(c, dtype=self.dtype,
+                                   name=f"duse{lvl}")(x1, x2, train=train)
+            x1 = avg_pool3d(x1, 2)
+            x2 = avg_pool3d(x2, 2)
+
+        comb = jnp.concatenate([x1, x2], axis=-1)
+        comb = RDB(2 * c, growth=64, dtype=self.dtype,
+                   name="rdb_comb")(comb, train=train)
+        comb = nn.relu(nn.BatchNorm(use_running_average=not train,
+                                    dtype=self.dtype, name="bn1_comb")(
+            Conv3DFast(c, 3, dtype=self.dtype, name="conv1_comb")(comb)))
+        comb = Conv3DFast(16, 3, dtype=self.dtype, name="conv2_comb")(comb)
+
+        flat = comb.reshape(comb.shape[0], -1)
+        flat = nn.Dense(1024, dtype=self.dtype, name="fc1")(flat)
+        flat = nn.Dense(128, dtype=self.dtype, name="fc2")(flat)
+        flat = nn.Dense(16, dtype=self.dtype, name="fc3")(flat)
+        return nn.Dense(self.out_params, dtype=self.dtype, name="fc4")(flat)

@@ -250,14 +250,36 @@ class ViLLayer(nn.Module):
         return y
 
 
+class DropPath(nn.Module):
+    """Per-sample stochastic depth on a residual branch (reference DropPath,
+    vision_lstm_util.py:132-209). Stochastic only when a "droppath" RNG is
+    supplied (training); otherwise the residual is added unscaled, matching
+    the reference's eval behavior. Parameter-free."""
+
+    rate: float = 0.0
+    scale_by_keep: bool = True
+
+    @nn.compact
+    def __call__(self, x, residual):
+        if self.rate == 0.0 or not self.has_rng("droppath"):
+            return x + residual
+        keep = 1.0 - self.rate
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(self.make_rng("droppath"), keep, shape)
+        if self.scale_by_keep:
+            residual = residual / keep
+        return x + residual * mask.astype(residual.dtype)
+
+
 class ViLBlock(nn.Module):
-    """Pre-LN residual ViLLayer (reference ViLBlock). DropPath prob is 0 in
-    every reference use, so it is omitted."""
+    """Pre-LN residual ViLLayer (reference ViLBlock) with optional stochastic
+    depth (drop_path is 0 in every reference use; kept for parity/extension)."""
 
     dim: int
     reverse: bool = False
     chunk_size: int = 128
     use_pallas: bool = False
+    drop_path: float = 0.0
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -266,6 +288,8 @@ class ViLBlock(nn.Module):
         y = ViLLayer(self.dim, reverse=self.reverse, chunk_size=self.chunk_size,
                      use_pallas=self.use_pallas, dtype=self.dtype,
                      name="layer")(y)
+        if self.drop_path > 0.0:
+            return DropPath(self.drop_path, name="drop_path")(x, y)
         return x + y
 
 

@@ -96,3 +96,55 @@ class DeformConv3d(nn.Module):
                     dtype=self.dtype, name="proj")(gathered.astype(
                         x.dtype))
         return y
+
+
+class AttDeformConv3d(nn.Module):
+    """Attention-gated deformable conv (reference AttDeformConv3d,
+    DeformableBlock3D.py:206-256): a 1x1 SE-reduction conv shrinks channels
+    by `se_ratio`, the predicted offsets are gated by a spatial-attention map
+    computed on the offset field, then the standard deformable gather +
+    1x1 projection runs on the reduced features."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    se_ratio: int = 4
+    use_bias: bool = False
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):  # (B, D, H, W, C)
+        from xlstm_hved_tpu.nn.skr import SpatialAttention3D
+
+        se_ch = max(x.shape[-1] // self.se_ratio, 1)
+        x = nn.Conv(se_ch, (1, 1, 1), use_bias=self.use_bias,
+                    dtype=self.dtype, name="conv_se")(x)
+
+        ks = self.kernel_size
+        taps = ks ** 3
+        offsets = nn.Conv(3 * taps, (ks,) * 3, strides=(self.stride,) * 3,
+                          padding="SAME", dtype=self.dtype,
+                          kernel_init=nn.initializers.zeros,
+                          name="offset_conv")(x)
+        offsets = offsets * SpatialAttention3D(name="att")(offsets)
+
+        B = x.shape[0]
+        out_sp = offsets.shape[1:4]
+        grid = jnp.stack(jnp.meshgrid(
+            jnp.arange(out_sp[0]) * self.stride,
+            jnp.arange(out_sp[1]) * self.stride,
+            jnp.arange(out_sp[2]) * self.stride, indexing="ij"),
+            axis=-1).astype(jnp.float32)
+        half = (ks - 1) // 2
+        tap_offsets = jnp.stack(jnp.meshgrid(
+            jnp.arange(ks) - half, jnp.arange(ks) - half,
+            jnp.arange(ks) - half, indexing="ij"),
+            axis=-1).reshape(taps, 3).astype(jnp.float32)
+        offs = offsets.reshape(B, *out_sp, taps, 3).astype(jnp.float32)
+        coords = (grid[None, :, :, :, None, :] + tap_offsets[None, None,
+                  None, None] + offs)
+        gathered = jax.vmap(trilinear_sample)(x.astype(jnp.float32), coords)
+        gathered = gathered.reshape(B, *out_sp, taps * se_ch)
+        return nn.Conv(self.features, (1, 1, 1), use_bias=self.use_bias,
+                       dtype=self.dtype, name="proj")(
+            gathered.astype(x.dtype))
