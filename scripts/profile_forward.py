@@ -17,20 +17,27 @@ import numpy as np
 
 
 def loop_time(fn, x, n_small=4, n_large=20, reps=3):
-    """Per-iteration seconds for fn via fori_loop slope timing."""
+    """Per-iteration seconds for fn via fori_loop slope timing.
+
+    The perturbation is multiplicative and fn must be NONLINEAR in x
+    (use abs/square inside), otherwise XLA's algebraic simplifier hoists
+    the body out of the loop and the slope collapses to zero."""
 
     def run(n):
         @jax.jit
         def body(x):
             def it(i, acc):
-                return acc + fn(x + acc * 1e-6 + i * 1e-4)
+                return acc + fn(x * (1.0 + acc * 1e-6 + i * 1e-5))
             return jax.lax.fori_loop(0, n, it, jnp.float32(0))
 
-        jax.block_until_ready(body(x))  # compile
+        # NOTE: on the axon relay jax.block_until_ready can return without
+        # waiting for execution; forcing the scalar to host (float()) is the
+        # only reliable synchronization.
+        float(body(x))  # compile + sync
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(body(x))
+            float(body(x))
             times.append(time.perf_counter() - t0)
         return min(times)
 
@@ -102,6 +109,68 @@ def main():
         print(f"instance_norm+leaky 16ch @ {size}^3: {t*1e3:.2f} ms"
               f"  ({2*gb/t:.0f} GB/s r+w bw)")
 
+    if "micro" in sections:
+        from xlstm_hved_tpu.nn.blocks import AttenModule2, resize_trilinear
+        from xlstm_hved_tpu.nn.dusfe import DuSEAttention
+        from xlstm_hved_tpu.nn.skr import SkrGate
+
+        # trilinear upsample x2 to size^3 at decoder widths
+        h = size // 2
+        xr = jnp.asarray(np.random.RandomState(11).rand(1, h, h, h, 16),
+                         jnp.bfloat16)
+
+        def fr(xi):
+            return jnp.mean(jnp.abs(
+                resize_trilinear(xi, (size, size, size)).astype(jnp.float32)))
+        t = loop_time(fr, xr)
+        print(f"resize_trilinear {h}^3->{size}^3 16ch: {t*1e3:.2f} ms")
+
+        xd = jnp.asarray(np.random.RandomState(12).rand(1, size, size, size,
+                                                        4), jnp.bfloat16)
+        duse = DuSEAttention(4, dtype=jnp.bfloat16)
+        vs = jax.jit(duse.init)(jax.random.PRNGKey(0), xd, xd)
+
+        def fd(xi):
+            a, b = duse.apply(vs, xi, xi)
+            return jnp.mean(jnp.abs(a.astype(jnp.float32)))
+        t = loop_time(fd, xd)
+        print(f"DuSEAttention 4ch @ {size}^3: {t*1e3:.2f} ms")
+
+        skr = SkrGate(8, dtype=jnp.bfloat16)
+        vs2 = jax.jit(skr.init)(jax.random.PRNGKey(0), xd)
+
+        def fs(xi):
+            return jnp.mean(jnp.abs(skr.apply(vs2, xi).astype(jnp.float32)))
+        t = loop_time(fs, xd)
+        print(f"SkrGate(8) on 4ch @ {size}^3: {t*1e3:.2f} ms")
+
+        xa = jnp.asarray(np.random.RandomState(13).rand(1, size, size, size,
+                                                        4), jnp.bfloat16)
+        att = AttenModule2(dtype=jnp.bfloat16)
+        vs3 = jax.jit(att.init)(jax.random.PRNGKey(0), xa, xa)
+
+        def fa(xi):
+            return jnp.mean(jnp.abs(
+                att.apply(vs3, xi, xi).astype(jnp.float32)))
+        t = loop_time(fa, xa)
+        print(f"AttenModule2 4ch @ {size}^3: {t*1e3:.2f} ms")
+
+    if "models" in sections:
+        # localize time by ablation across zoo variants
+        for name in ["XLSTM_HVED_woViL", "XLSTM_HVED_woDuSFE",
+                     "U_HVEDConvNet3D"]:
+            m = find_model_using_name(name, compute_dtype="bfloat16")
+            vs = jax.jit(lambda k, x: m.init(k, x, deterministic=True))(
+                {"params": jax.random.PRNGKey(0),
+                 "latent": jax.random.PRNGKey(1)}, x0)
+
+            def f(xi, m=m, vs=vs):
+                out = m.apply(vs, xi, keep=keep, recon=True,
+                              deterministic=True)
+                return jnp.mean(out.seg) + jnp.mean(out.recon)
+            t = loop_time(f, x0)
+            print(f"{name:24s} seg+recon fwd @ {size}^3: {t*1e3:.2f} ms")
+
     if "bw" in sections:
         # Hypothesis probe: elementwise bandwidth vs logical shape. If the
         # (.., C) last-dim layout starves the VPU (C << 128 lanes), the same
@@ -117,8 +186,8 @@ def main():
             xb = jnp.asarray(np.random.RandomState(5).rand(*shp), jnp.bfloat16)
 
             def ew(xi):
-                return jnp.mean((xi * 1.25 + 0.5).astype(jnp.float32))
-            t = loop_time(ew, xb)
+                return jnp.mean(jnp.abs(xi * 1.25 + 0.5).astype(jnp.float32))
+            t = loop_time(ew, xb, n_small=40, n_large=400)
             gb = xb.size * 2 / 1e9
             print(f"elementwise {tag}: {t*1e3:.3f} ms  ({gb/t:.0f} GB/s read)")
 
@@ -129,7 +198,7 @@ def main():
         def st(xi):
             x32 = xi.astype(jnp.float32)
             return jnp.mean(jnp.var(x32, axis=(1, 2, 3)))
-        t = loop_time(st, xb)
+        t = loop_time(st, xb, n_small=40, n_large=400)
         print(f"IN stats NDHWC C=16: {t*1e3:.3f} ms"
               f"  ({xb.size*2/1e9/t:.0f} GB/s)")
 
@@ -138,7 +207,7 @@ def main():
         def st2(xi):
             x32 = xi.astype(jnp.float32)
             return jnp.mean(jnp.var(x32, axis=1))
-        t = loop_time(st2, xb2)
+        t = loop_time(st2, xb2, n_small=40, n_large=400)
         print(f"IN stats (B,S,16):   {t*1e3:.3f} ms"
               f"  ({xb2.size*2/1e9/t:.0f} GB/s)")
 

@@ -35,6 +35,7 @@ from xlstm_hved_tpu.nn.blocks import (
     BlockDiagConv,
     BlockDiagEncoderStage,
     BlockDiagSingleConv,
+    Conv1x1,
     DecoderStage,
     EncoderStage,
     SingleConv,
@@ -199,7 +200,7 @@ class HVEDFusionNet(nn.Module):
                 # (E1: 4->8, E2: 8->16, E3: 16->32 for the flagship).
                 if cfg.skip_return:
                     if skr_feat is None:
-                        skr_feat = nn.Conv(enc_f[0], (1, 1, 1), dtype=dtype,
+                        skr_feat = Conv1x1(enc_f[0], dtype=dtype,
                                            name="x0_init")(x0)
                     else:
                         skr_feat = EncoderStage(
@@ -287,14 +288,14 @@ class HVEDFusionNet(nn.Module):
                         sx = sdecoders[j](skips[j], sx, train=train)
                         if j <= 2:
                             rx, sx = dusfes[j](rx, sx, train=train)
-                r_final = nn.Conv(rec_last, (1, 1, 1), dtype=dtype,
+                r_final = Conv1x1(rec_last, dtype=dtype,
                                   name=f"rfinal_{m}")(rx)
                 recon_out = r_final if recon_out is None else jnp.concatenate(
                     [recon_out, r_final], axis=-1)
             if seg:
-                s_head = nn.Conv(rec_last, (1, 1, 1), dtype=dtype,
+                s_head = Conv1x1(rec_last, dtype=dtype,
                                  name="sfinal_0")(sx)
-                logits = nn.Conv(cfg.out_channels, (1, 1, 1), dtype=dtype,
+                logits = Conv1x1(cfg.out_channels, dtype=dtype,
                                  name="final_conv")(s_head)
                 seg_out = (nn.sigmoid(logits) if cfg.final_sigmoid
                            else nn.softmax(logits, axis=-1)).astype(jnp.float32)
@@ -318,7 +319,7 @@ class HVEDFusionNet(nn.Module):
                         s * 2 for s in rx.shape[1:4])
                     rx = rec_decoder_stage(m, j)(skip_j, rx, up_size=up,
                                                  train=train)
-                parts.append(nn.Conv(rec_last, (1, 1, 1), dtype=dtype,
+                parts.append(Conv1x1(rec_last, dtype=dtype,
                                      name=f"rfinal_{m}")(rx))
             if recon:
                 recon_out = jnp.concatenate(parts, axis=-1).astype(jnp.float32)
@@ -332,7 +333,7 @@ class HVEDFusionNet(nn.Module):
             skip_src = skips if cfg.mvae or not cfg.fusion else seg_feats_nonmvae[1:]
             for j in range(n_dec):
                 sx = seg_decoder_stage(j)(skip_src[j], sx, train=train)
-            logits = nn.Conv(cfg.out_channels, (1, 1, 1), dtype=dtype,
+            logits = Conv1x1(cfg.out_channels, dtype=dtype,
                              name="final_conv")(sx)
             seg_out = (nn.sigmoid(logits) if cfg.final_sigmoid
                        else nn.softmax(logits, axis=-1)).astype(jnp.float32)

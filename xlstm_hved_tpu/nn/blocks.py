@@ -53,6 +53,32 @@ class Conv3DFast(nn.Module):
                            bias=None if bias is None else bias)
 
 
+class Conv1x1(nn.Module):
+    """Pointwise 3D conv, drop-in for nn.Conv(features, (1, 1, 1)).
+
+    Same param names/shapes/init as flax nn.Conv (kernel (1,1,1,Cin,Cout)
+    lecun_normal, bias zeros) so checkpoints are interchangeable, but lowered
+    through the depth-folded 2D form: XLA's 5D NDHWC pointwise conv measures
+    1.74 ms where this takes 0.09-0.24 ms at 128^3/16ch (19x).
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, 1, cin, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        # match nn.Conv promotion: dtype=None computes in promoted fp32
+        dt = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
+        return conv3d_slab(x.astype(dt), kernel.astype(dt),
+                           bias=None if bias is None else bias.astype(dt))
+
+
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """Per-sample, per-channel normalization over spatial dims (no affine),
     matching torch InstanceNorm3d defaults. Stats in fp32."""
@@ -288,14 +314,14 @@ class AttenModule2(nn.Module):
         enc_spa = jnp.concatenate([spa_comp, pool(enc_x)], axis=-1)  # 4 ch
         enc_scale = BlockDiagConv(4, expan, kernel_size=7, dtype=self.dtype,
                                   name="enc_spatial")(enc_spa)
-        enc_scale = nn.Conv(1, (1, 1, 1), dtype=self.dtype,
+        enc_scale = Conv1x1(1, dtype=self.dtype,
                             name="enc_spatial2")(enc_scale)
         enc_scale = nn.sigmoid(enc_scale)
         s_enc_x = enc_x + enc_x * enc_scale
 
         seg_scale = BlockDiagConv(2, expan, kernel_size=7, dtype=self.dtype,
                                   name="seg_spatial")(spa_comp)
-        seg_scale = nn.Conv(1, (1, 1, 1), dtype=self.dtype,
+        seg_scale = Conv1x1(1, dtype=self.dtype,
                             name="seg_spatial2")(seg_scale)
         seg_scale = nn.sigmoid(seg_scale)
         scaled_seg_x = seg_x * (1.0 + seg_scale)
@@ -321,7 +347,7 @@ class AttenModule(nn.Module):
         rec_scale = BlockDiagConv(2 * 5, expan, kernel_size=7,
                                   dtype=self.dtype,
                                   name="recon_spatial")(recon_spa)
-        rec_scale = nn.Conv(4, (1, 1, 1), dtype=self.dtype,
+        rec_scale = Conv1x1(4, dtype=self.dtype,
                             name="recon_spatial2")(rec_scale)
         rec_scale = nn.sigmoid(rec_scale)
         s_recon = [r + r * rec_scale[..., i:i + 1] for i, r in enumerate(recon_x)]
@@ -333,7 +359,7 @@ class AttenModule(nn.Module):
         enc_scale = BlockDiagConv(2 * 5, expan, kernel_size=7,
                                   dtype=self.dtype,
                                   name="enc_spatial")(enc_spa)
-        enc_scale = nn.Conv(4, (1, 1, 1), dtype=self.dtype,
+        enc_scale = Conv1x1(4, dtype=self.dtype,
                             name="enc_spatial2")(enc_scale)
         enc_scale = nn.sigmoid(enc_scale)
         s_enc = [e + e * enc_scale[..., i:i + 1] for i, e in enumerate(enc_x)]
@@ -343,7 +369,7 @@ class AttenModule(nn.Module):
 
         seg_scale = BlockDiagConv(2, expan, kernel_size=7, dtype=self.dtype,
                                   name="seg_spatial")(spa_comp)
-        seg_scale = nn.Conv(1, (1, 1, 1), dtype=self.dtype,
+        seg_scale = Conv1x1(1, dtype=self.dtype,
                             name="seg_spatial2")(seg_scale)
         seg_scale = nn.sigmoid(seg_scale)
         scaled_seg_x = seg_x * (1.0 + seg_scale)
@@ -371,7 +397,7 @@ class DecoderStage(nn.Module):
         if transposed:
             # reference's ResNet path: conv1x1 to target channels + interp,
             # then summation joining (buildingblocks.py:692-698, 759-763)
-            x = nn.Conv(self.features, (1, 1, 1), dtype=self.dtype,
+            x = Conv1x1(self.features, dtype=self.dtype,
                         name="pre_conv")(x)
         if encoder_features is not None:
             ef = encoder_features[0] if isinstance(encoder_features, (list, tuple)) \

@@ -13,6 +13,8 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from xlstm_hved_tpu.nn.blocks import Conv1x1
+
 Dtype = Any
 
 
@@ -44,9 +46,9 @@ class DuSEAttention(nn.Module):
         x2_sc = x2 * g2[:, None, None, None, :]
 
         # (2) channel-squeeze + spatial-excitation
-        s1 = nn.Conv(1, (1, 1, 1), dtype=self.dtype, name="conv_squeeze_ch1")(x1)
-        s2 = nn.Conv(1, (1, 1, 1), dtype=self.dtype, name="conv_squeeze_ch2")(x2)
-        fused = nn.Conv(1, (1, 1, 1), dtype=self.dtype, name="conv_comb")(
+        s1 = Conv1x1(1, dtype=self.dtype, name="conv_squeeze_ch1")(x1)
+        s2 = Conv1x1(1, dtype=self.dtype, name="conv_squeeze_ch2")(x2)
+        fused = Conv1x1(1, dtype=self.dtype, name="conv_comb")(
             jnp.concatenate([s1, s2], axis=-1)
         )
         from xlstm_hved_tpu.nn.blocks import Conv3DFast
@@ -96,7 +98,7 @@ class RDB(nn.Module):
         for i in range(self.num_dense):
             y = MakeDense(self.growth, dtype=self.dtype, name=f"dense{i}")(
                 y, train=train)
-        y = nn.Conv(self.features, (1, 1, 1), use_bias=False, dtype=self.dtype,
+        y = Conv1x1(self.features, use_bias=False, dtype=self.dtype,
                     name="conv_1x1")(y)
         return y + x
 

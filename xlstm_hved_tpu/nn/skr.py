@@ -80,7 +80,8 @@ class DWConvNorm(nn.Module):
         in_ch = x.shape[-1]
         x = BlockDiagConv(in_ch, 1, self.kernel_size, self.stride,
                           use_bias=False, dtype=self.dtype, name="dwconv")(x)
-        x = nn.Conv(self.features, (1, 1, 1), dtype=self.dtype, name="pwconv")(x)
+        from xlstm_hved_tpu.nn.blocks import Conv1x1
+        x = Conv1x1(self.features, dtype=self.dtype, name="pwconv")(x)
         if self.norm == "BATCH":
             x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         elif self.norm == "INSTANCE":
@@ -316,7 +317,8 @@ class ParallelDecoder(nn.Module):
                           name="conv3_4")(
             jnp.concatenate([f3, level4], axis=-1), train=train)
         fused = jnp.concatenate([level3, level4, level5], axis=-1)
-        return nn.Conv(self.out_features, (1, 1, 1), dtype=self.dtype,
+        from xlstm_hved_tpu.nn.blocks import Conv1x1
+        return Conv1x1(self.out_features, dtype=self.dtype,
                        name="conv_out")(fused)
 
 
@@ -343,7 +345,8 @@ class FCNHead(nn.Module):
         x3_ref = ConvNorm(x3.shape[-1], 3, 1, norm=self.norm,
                           dtype=self.dtype,
                           name="conv3_0")(x4_up + x3, train=train)
-        return nn.Conv(self.out_features, (1, 1, 1), dtype=self.dtype,
+        from xlstm_hved_tpu.nn.blocks import Conv1x1
+        return Conv1x1(self.out_features, dtype=self.dtype,
                        name="conv_out")(x3_ref)
 
 

@@ -1,26 +1,51 @@
-"""Fast 3D convolution for thin-channel volumes: 2D-slab decomposition.
+"""Fast 3D convolution for thin-channel volumes.
 
-XLA:TPU's direct 3D conv lowering is 6-40x off bandwidth at this model's
-channel widths (4-32). An exact decomposition runs k_d optimized 2D convs
-over depth slabs folded into the batch axis and accumulates depth-shifted
-results:
+XLA:TPU's direct 3D conv lowering is far off bandwidth at this model's
+channel widths (measured 4.37 ms for a 3^3 16ch conv at 128^3 that peaks at
+0.17 ms/slice-pass). Two exact reformulations are used instead:
 
-    out[d] = sum_kd conv2d(x[d + kd - pad], w[kd])
+1. (historical) 2D-slab decomposition — k_d separate 2D convs over
+   depth-folded batch with depth-shifted accumulation. Measured 1.82 ms for
+   the 3^3/16ch/128^3 case: the k_d passes and the roll/mask/add chain pay
+   ~3x HBM traffic.
+2. (current) **depth-fold-into-channels**: stack the k_d depth-shifted
+   views on the channel axis and run ONE 2D conv with K = k_d*Cin:
 
-Measured at 128^3 (device-loop timing): 7^3 conv 4->16: 42.2 -> 6.8 ms;
-3^3 conv 16->16: 6.8 -> 4.3 ms; 3^3 stride-2: 5.1 -> 2.9 ms.
+       x3[b, d, h, w, j*Cin + ci] = xpad[b, d - pad + j, h, w, ci]
+       out = conv2d(x3 reshaped to (B*D, H, W, kd*Cin), w2)[::stride_d]
 
-Padding is torch-style symmetric ((k-1)//2 per side) — the reference's
-Conv3d(padding=1) convention — which XLA's "SAME" only matches at stride 1.
-Differentiable (plain XLA ops). Pointwise (k=1, stride 1) convs fall back to
-the native path.
+   Mathematically identical (same tap set per output voxel); measured
+   0.60 ms for the same case — XLA's 2D conv runs at ~790 GB/s (bandwidth
+   bound), and the single fused concat+conv pass beats the k_d-pass slab 3x.
+
+Padding is torch-style symmetric ((k-1)//2 leading) — the reference's
+Conv3d(padding=1) convention (/root/reference/buildingblocks.py) — which
+XLA's "SAME" only matches at stride 1. Supports any kernel size (odd and
+even, e.g. the discriminator's k=4) and uniform stride. Differentiable
+(plain XLA ops). Pointwise (k=1) convs use the native path.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# Global default formulation for k>1 convs: "depthfold" or "slab".
+# Isolated microbenchmarks favor depthfold (0.60 vs 1.82 ms for the
+# 3^3/16ch/128^3 conv), but in the FULL flagship graph slab wins (52.9 vs
+# 57.8 ms forward): XLA fuses the roll/mask/add chain with neighboring
+# elementwise ops, while depthfold's concat is a fusion barrier that
+# rematerializes kd copies of each activation. Overridable per call;
+# env var for experiments.
+_DEFAULT_MODE = os.environ.get("XHVED_CONV3D_MODE", "slab")
+
+
+def set_conv3d_mode(mode: str) -> None:
+    global _DEFAULT_MODE
+    assert mode in ("depthfold", "slab"), mode
+    _DEFAULT_MODE = mode
 
 
 def conv3d_slab(
@@ -28,17 +53,41 @@ def conv3d_slab(
     w: jnp.ndarray,       # (kd, kh, kw, Cin, Cout)
     stride: int = 1,
     bias: Optional[jnp.ndarray] = None,
+    mode: Optional[str] = None,
 ) -> jnp.ndarray:
-    kd, kh, kw = w.shape[:3]
-    B, D, H, W, Cin = x.shape
+    kd, kh, kw, Cin, Cout = w.shape
+    B, D, H, W, _ = x.shape
     pad_d = (kd - 1) // 2
     pad_hw = [((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2]
+    mode = mode or _DEFAULT_MODE
 
     if kd == 1 and kh == 1 and kw == 1:
-        out = jax.lax.conv_general_dilated(
-            x, w, (stride,) * 3, [(0, 0)] * 3,
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        # pointwise: the 5D NDHWC lowering measures 1.74 ms where the
+        # depth-folded 2D form measures 0.09-0.24 ms (19x) at 128^3/16ch
+        x2 = x.reshape(B * D, H, W, Cin)
+        y = jax.lax.conv_general_dilated(
+            x2, w[0], (stride, stride), [(0, 0)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y.reshape(B, D, *y.shape[1:])
+        out = y[:, ::stride] if stride > 1 else y
+    elif mode == "depthfold":
+        # depth-fold: windows j = 0..kd-1 of the depth-padded volume, stacked
+        # on channels; right pad covers even kernels (kd-1-pad_d >= pad_d)
+        xp = jnp.pad(x, ((0, 0), (pad_d, kd - 1 - pad_d),
+                         (0, 0), (0, 0), (0, 0)))
+        x3 = jnp.concatenate([xp[:, j:j + D] for j in range(kd)], axis=-1)
+        x2 = x3.reshape(B * D, H, W, kd * Cin)
+        # channel index j*Cin + ci must pick w[j, dy, dx, ci, co]
+        w2 = w.transpose(1, 2, 0, 3, 4).reshape(kh, kw, kd * Cin, Cout)
+        y = jax.lax.conv_general_dilated(
+            x2, w2, (stride, stride), pad_hw,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y.reshape(B, D, *y.shape[1:])
+        if stride > 1:
+            y = y[:, ::stride]
+        out = y
     else:
+        # slab: kd separate 2D convs with depth-shifted accumulation
         x2 = x.reshape(B * D, H, W, Cin)
         idx = jnp.arange(D)
         out = None
