@@ -225,11 +225,17 @@ def main():
         print(f"mid-ViL (S={s8**3}) @ {s8}^3x32: {t*1e3:.2f} ms")
 
     if "train" in sections:
+        import os
+
         from xlstm_hved_tpu.config import TrainConfig
         from xlstm_hved_tpu.engine.train import (create_train_state,
                                                  make_train_step)
         from xlstm_hved_tpu.models import Discriminator
 
+        if os.environ.get("XHVED_REMAT"):
+            model = find_model_using_name("XLSTM_HVED",
+                                          compute_dtype="bfloat16",
+                                          remat=True)
         cfg = TrainConfig(crop_size=(size, size, size), num_epochs=10)
         disc = Discriminator(f_maps=64, kernel=4 if size >= 48 else 3)
         state, _ = create_train_state(model, disc, cfg, jax.random.PRNGKey(0),

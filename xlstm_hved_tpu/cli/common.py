@@ -44,6 +44,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--disc_kernel", type=int, default=4,
                    help="discriminator conv kernel (use 3 for crops < 48)")
     p.add_argument("--disc_fmaps", type=int, default=64)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize model stages in backward; required "
+                        "for the reference 128x192x128 crop on one 16GB chip")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize, shard "
                         "the dataset per host, rank-0-only checkpoints/logs")

@@ -47,7 +47,8 @@ def main(argv=None):
     # per-modality recon decoders during pretraining (shared_recon=False,
     # Pretrain.py:144-145)
     model = find_model_using_name(args.model_name, shared_recon=False,
-                                  compute_dtype=args.compute_dtype)
+                                  compute_dtype=args.compute_dtype,
+                                  remat=args.remat)
     disc = Discriminator(f_maps=args.disc_fmaps, kernel=args.disc_kernel)
     sample = jnp.zeros((1, *cfg.crop_size, 4), jnp.float32)
     rng, init_rng = jax.random.split(rng)

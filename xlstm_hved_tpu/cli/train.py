@@ -58,7 +58,8 @@ def main(argv=None):
     cfg = train_cfg_from_args(args, steps_per_epoch)
 
     model = find_model_using_name(args.model_name,
-                                  compute_dtype=args.compute_dtype)
+                                  compute_dtype=args.compute_dtype,
+                                  remat=args.remat)
     disc = Discriminator(f_maps=args.disc_fmaps, kernel=args.disc_kernel)
 
     sample = jnp.zeros((1, *cfg.crop_size, 4), jnp.float32)

@@ -54,6 +54,9 @@ class HVEDConfig:
     compute_dtype: str = "float32"      # 'bfloat16' on TPU for speed
     vil_chunk_size: int = 128
     use_pallas_mlstm: bool = False
+    remat: bool = False                 # rematerialize encoder/decoder stages
+    # in backward (jax.checkpoint per stage): enables training the reference
+    # crop (128x192x128, batch 1) within one chip's 16 GB HBM
 
     # ---- derived ----
     @property

@@ -93,6 +93,23 @@ class HVEDFusionNet(nn.Module):
         else:
             keep_b = keep
 
+        # Optional stage-granular rematerialization: with cfg.remat, each
+        # encoder/decoder stage recomputes its internals during backward so
+        # only stage-boundary activations stay live (nn.remat preserves the
+        # param tree — checkpoints are interchangeable). static_argnums mark
+        # the python-bool `train` flag (and DecoderStage's static up_size),
+        # counting self as arg 0.
+        if cfg.remat:
+            _BDEncStage = nn.remat(BlockDiagEncoderStage, static_argnums=(2,))
+            _EncStage = nn.remat(EncoderStage, static_argnums=(2,))
+            _DecStage = nn.remat(DecoderStage, static_argnums=(3, 4))
+            _BDSingle = nn.remat(BlockDiagSingleConv, static_argnums=(2,))
+        else:
+            _BDEncStage = BlockDiagEncoderStage
+            _EncStage = EncoderStage
+            _DecStage = DecoderStage
+            _BDSingle = BlockDiagSingleConv
+
         x_in = x.astype(dtype)
         x0 = x_in
         # Folded-stream layout: per-modality features live as channel BLOCKS
@@ -125,7 +142,7 @@ class HVEDFusionNet(nn.Module):
                                    name=f"skr_att_{level}")(skr_feat, train=train)
                     xs = gate * xs + xs
 
-                xs = BlockDiagEncoderStage(
+                xs = _BDEncStage(
                     streams=M,
                     features=enc_f[level],
                     num_block=cfg.num_block[level],
@@ -134,7 +151,7 @@ class HVEDFusionNet(nn.Module):
                     order=cfg.layer_order,
                     dtype=dtype,
                     name=f"encoders_{level}",
-                )(xs, train=train)
+                )(xs, train)
 
                 def split_streams(t):
                     c = t.shape[-1] // M
@@ -151,11 +168,11 @@ class HVEDFusionNet(nn.Module):
                     seg_feats_nonmvae.insert(0, feats)
                 elif cfg.mvae:
                     if cfg.mvae_reduction:
-                        drb = BlockDiagSingleConv(
+                        drb = _BDSingle(
                             streams=M, features=2 * latents[level],
                             kernel_size=3, stride=2, order=cfg.layer_order,
                             dtype=dtype, name=f"drb_{level}",
-                        )(xs, train=train)
+                        )(xs, train)
                     else:
                         drb = xs  # latent params come straight off the encoder
                     # folded (B, ..., M*2L) -> (B, M, ..., L) each
@@ -203,7 +220,7 @@ class HVEDFusionNet(nn.Module):
                         skr_feat = Conv1x1(enc_f[0], dtype=dtype,
                                            name="x0_init")(x0)
                     else:
-                        skr_feat = EncoderStage(
+                        skr_feat = _EncStage(
                             features=enc_f[level],
                             num_block=cfg.num_block[level],
                             apply_pooling=True,
@@ -212,11 +229,11 @@ class HVEDFusionNet(nn.Module):
                             num_groups=cfg.num_groups,
                             dtype=dtype,
                             name=f"skr_encoder_{level}",
-                        )(skr_feat, train=train)
+                        )(skr_feat, train)
             else:
                 # single-stream deeper levels (fusion_level < num_levels)
                 top = rec_feats[0]
-                top = EncoderStage(
+                top = _EncStage(
                     features=dec_f[level],
                     num_block=cfg.num_block[level],
                     apply_pooling=True,
@@ -225,7 +242,7 @@ class HVEDFusionNet(nn.Module):
                     num_groups=cfg.num_groups,
                     dtype=dtype,
                     name=f"encoders_{level}",
-                )(top, train=train)
+                )(top, train)
                 rec_feats.insert(0, top)
 
         # mid-ViL over bottleneck tokens (+skr) (RA_HVED.py:623-626).
@@ -256,14 +273,14 @@ class HVEDFusionNet(nn.Module):
         def seg_decoder_stage(j):
             basic = ("double_conv_vil" if cfg.vil_decoder and j < 1
                      else cfg.basic_module)
-            return DecoderStage(
+            return _DecStage(
                 features=rev_dec[j + 1], basic_module=basic,
                 order=cfg.layer_order, num_groups=cfg.num_groups,
                 rsm=cfg.mvae, mvae=cfg.mvae, dtype=dtype,
                 name=f"sdecoder_{j}")
 
         def rec_decoder_stage(m, j):
-            return DecoderStage(
+            return _DecStage(
                 features=rev_dec[j + 1], basic_module=cfg.basic_module,
                 order=cfg.layer_order, num_groups=cfg.num_groups,
                 rsm=False, dtype=dtype, name=f"rdecoder_{m}_{j}")
@@ -283,9 +300,9 @@ class HVEDFusionNet(nn.Module):
             for m in range(rec_streams):
                 rx, sx = bottleneck, bottleneck
                 for j in range(n_dec):
-                    rx = rec_decoder_stage(m, j)(skips[j], rx, train=train)
+                    rx = rec_decoder_stage(m, j)(skips[j], rx, None, train)
                     if seg:
-                        sx = sdecoders[j](skips[j], sx, train=train)
+                        sx = sdecoders[j](skips[j], sx, None, train)
                         if j <= 2:
                             rx, sx = dusfes[j](rx, sx, train=train)
                 r_final = Conv1x1(rec_last, dtype=dtype,
@@ -317,8 +334,7 @@ class HVEDFusionNet(nn.Module):
                     skip_j = skips[j] if cfg.recon_skip else None
                     up = None if cfg.recon_skip else tuple(
                         s * 2 for s in rx.shape[1:4])
-                    rx = rec_decoder_stage(m, j)(skip_j, rx, up_size=up,
-                                                 train=train)
+                    rx = rec_decoder_stage(m, j)(skip_j, rx, up, train)
                 parts.append(Conv1x1(rec_last, dtype=dtype,
                                      name=f"rfinal_{m}")(rx))
             if recon:
@@ -332,7 +348,7 @@ class HVEDFusionNet(nn.Module):
                 sx = bottleneck
             skip_src = skips if cfg.mvae or not cfg.fusion else seg_feats_nonmvae[1:]
             for j in range(n_dec):
-                sx = seg_decoder_stage(j)(skip_src[j], sx, train=train)
+                sx = seg_decoder_stage(j)(skip_src[j], sx, None, train)
             logits = Conv1x1(cfg.out_channels, dtype=dtype,
                              name="final_conv")(sx)
             seg_out = (nn.sigmoid(logits) if cfg.final_sigmoid
