@@ -50,11 +50,13 @@ def main():
                 return acc + one(x + acc * 1e-6 + i * 1e-4)
             return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-        jax.block_until_ready(run(x0))  # compile
+        # NOTE: jax.block_until_ready can return without waiting on the axon
+        # relay; forcing the scalar to host is the only reliable sync.
+        float(run(x0))  # compile + sync
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(x0))
+            float(run(x0))
             times.append(time.perf_counter() - t0)
         return min(times)
 

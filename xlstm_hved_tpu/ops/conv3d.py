@@ -59,11 +59,13 @@ def conv3d_slab(
     B, D, H, W, _ = x.shape
     pad_d = (kd - 1) // 2
     pad_hw = [((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2]
-    mode = mode or _DEFAULT_MODE
-    if mode == "slab" and kd >= 5:
-        # large depth kernels: the kd-pass slab's shift/add chain dominates;
-        # depthfold halves the 7^3 gate convs (0.93 vs 1.91 ms isolated)
-        mode = "depthfold"
+    if mode is None:
+        mode = _DEFAULT_MODE
+        if mode == "slab" and kd >= 5:
+            # large depth kernels: the kd-pass slab's shift/add chain
+            # dominates; depthfold halves the 7^3 gate convs (0.93 vs
+            # 1.91 ms isolated). Explicit mode= requests are honored.
+            mode = "depthfold"
 
     if kd == 1 and kh == 1 and kw == 1:
         # pointwise: the 5D NDHWC lowering measures 1.74 ms where the
