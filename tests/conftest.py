@@ -13,6 +13,27 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Files whose tests are compile-heavy end to end (full-model fixtures).
+_SLOW_FILES = {
+    "test_cli_e2e.py",
+    "test_engine.py",
+    "test_goldens.py",
+    "test_parallel.py",
+    "test_remat.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (round-1 VERDICT #9): everything not marked slow gets
+    the `quick` marker, so `pytest -m quick` is the fast CI tier and
+    `pytest` (or `-m slow`) is the nightly full run."""
+    for item in items:
+        if item.fspath.basename in _SLOW_FILES or \
+                item.get_closest_marker("slow"):
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture
 def rng():

@@ -109,3 +109,27 @@ def test_deform_conv_zero_offsets_match_dense_grid():
     np.testing.assert_allclose(np.asarray(off_kernel), 0.0)
     y = jax.jit(model.apply)(variables, x)
     assert bool(jnp.isfinite(y).all())
+
+
+def test_decoder_stage_non_mvae_rsm_atten():
+    """Non-MVAE RSM joining through AttenModule (reference Decoder with
+    RSM=True, MVAE=False, buildingblocks.py:676-700 — a path the reference
+    builds but whose forward crashes; wired and exercised here)."""
+    from xlstm_hved_tpu.nn.blocks import DecoderStage
+
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.rand(1, 4, 4, 4, 64), jnp.float32)       # coarse
+    # non-MVAE invariant: decoder features == multi_stream * per-stream C
+    encs = [jnp.asarray(r.rand(1, 8, 8, 8, 8), jnp.float32)
+            for _ in range(4)]                                  # 4 streams
+    recons = [jnp.asarray(r.rand(1, 8, 8, 8, 8), jnp.float32)
+              for _ in range(4)]
+    stage = DecoderStage(features=32, rsm=True, mvae=False, order="ilc")
+    variables = jax.jit(
+        lambda k: stage.init(k, encs, x, None, False, recons)
+    )(jax.random.PRNGKey(0))
+    out = jax.jit(
+        lambda v: stage.apply(v, encs, x, None, False, recons)
+    )(variables)
+    assert out.shape == (1, 8, 8, 8, 32)
+    assert np.all(np.isfinite(np.asarray(out)))

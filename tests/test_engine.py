@@ -165,3 +165,52 @@ def test_label_volume_remap():
     lab = label_volume_from_probs(seg)
     assert lab[0, 0, 0] == 2 and lab[0, 0, 1] == 1 and lab[0, 1, 0] == 4
     assert lab[1, 1, 1] == 0
+
+
+def test_save_epoch_none_metrics_do_not_touch_bests(tmp_path):
+    """--validate_every > 1 regression (round-1 VERDICT Weak #1): epochs
+    without validation must not clobber best_vloss/best_dice with zeros."""
+    from xlstm_hved_tpu.engine.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"), backup_interval=100)
+    state = {"w": jnp.ones((2,))}
+    # epoch 1: validated, establishes real bests
+    bv, bd = ckpt.save_epoch(state, 1, vloss=0.5, dice=0.7,
+                             best_vloss=float("inf"), best_dice=0.0)
+    assert bv == 0.5 and bd == 0.7
+    assert ckpt.exists("best_vloss") and ckpt.exists("best_dice")
+    import os
+    mtime_v = os.path.getmtime(ckpt._path("best_vloss"))
+    # epochs 2-3: no validation -> bests unchanged, best ckpts untouched
+    for epoch in (2, 3):
+        bv, bd = ckpt.save_epoch(state, epoch, vloss=None, dice=None,
+                                 best_vloss=bv, best_dice=bd)
+    assert bv == 0.5 and bd == 0.7
+    assert os.path.getmtime(ckpt._path("best_vloss")) == mtime_v
+    assert ckpt.exists("latest")
+    # epoch 4: validated with a real improvement
+    bv, bd = ckpt.save_epoch(state, 4, vloss=0.4, dice=0.8,
+                             best_vloss=bv, best_dice=bd)
+    assert bv == 0.4 and bd == 0.8
+
+
+def test_subset_sweep_any_chunk_size(setup):
+    """subset_chunk need not divide 15 (padded internally); results match
+    chunk=1 for every subset."""
+    model, _, state, x, _ = setup
+    variables = {"params": state.params_g}
+    if state.batch_stats_g:
+        variables["batch_stats"] = state.batch_stats_g
+    apply_fn = default_apply_fn(model)
+    ref = make_subset_sweep(apply_fn, patch=(S, S, S), subset_chunk=1)(
+        variables, x)
+    for chunk in (4, 6):
+        got = make_subset_sweep(apply_fn, patch=(S, S, S),
+                                subset_chunk=chunk)(variables, x)
+        assert got.shape == (15, 1, S, S, S, 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
+    with pytest.raises(ValueError):
+        make_subset_sweep(apply_fn, patch=(S, S, S), subset_chunk=0)
+    with pytest.raises(ValueError):
+        make_subset_sweep(apply_fn, patch=(S, S, S), subset_chunk=16)

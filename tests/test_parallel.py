@@ -72,3 +72,102 @@ def test_mesh_and_batch_sharding():
     sh = batch_sharding(mesh)
     x = jax.device_put(jnp.arange(8.0).reshape(8, 1), sh)
     assert len(x.addressable_shards) == 8
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel == single-device equivalence (SURVEY.md §4; replaces the
+# reference's nn.DataParallel semantics, /root/reference/train.py:148-151).
+# ---------------------------------------------------------------------------
+from xlstm_hved_tpu.config import TrainConfig
+from xlstm_hved_tpu.engine.train import (
+    create_train_state,
+    make_grad_fn,
+    make_pretrain_step,
+    make_train_step,
+)
+from xlstm_hved_tpu.models import Discriminator, find_model_using_name
+from xlstm_hved_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+_S = 16
+
+
+@pytest.fixture(scope="module")
+def dp_setup():
+    model = find_model_using_name("XLSTM_HVED")
+    disc = Discriminator(f_maps=8, kernel=3)
+    cfg = TrainConfig(crop_size=(_S, _S, _S), num_epochs=10)
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.rand(8, _S, _S, _S, 4), jnp.float32)
+    mask = (jnp.asarray(r.rand(8, _S, _S, _S, 3)) > 0.7).astype(jnp.float32)
+    state, _ = create_train_state(model, disc, cfg, jax.random.PRNGKey(0),
+                                  x[:1])
+    return model, disc, cfg, state, x, mask
+
+
+def _tree_max_err(a, b):
+    return max(jax.tree.reduce(max, jax.tree.map(
+        lambda u, v: float(np.max(np.abs(
+            np.asarray(u, np.float64) - np.asarray(v, np.float64)))),
+        a, b)), 0.0)
+
+
+def _run_both(step_fn, state, args_dp, args_sd):
+    # the step donates its input state and replicate() may alias source
+    # buffers: each pass gets its own deep copy
+    copy = lambda t: jax.tree.map(jnp.array, t)
+    mesh8 = make_mesh(data=8)
+    with mesh8:
+        s_dp = replicate(mesh8, copy(state))
+        sharded = shard_batch(mesh8, args_dp)
+        s_dp, m_dp = step_fn(s_dp, *sharded, jax.random.PRNGKey(2))
+    mesh1 = make_mesh(data=1, devices=jax.devices()[:1])
+    with mesh1:
+        s_sd = replicate(mesh1, copy(state))
+        placed = shard_batch(mesh1, args_sd)
+        s_sd, m_sd = step_fn(s_sd, *placed, jax.random.PRNGKey(2))
+    return s_dp, m_dp, s_sd, m_sd
+
+
+def test_grads_dp_equal_single_device(dp_setup):
+    """The all-reduced quantity itself: generator gradients on the sharded
+    B=8 batch over an 8-device mesh must match those on the gathered batch
+    on one device. (Post-Adam params are the WRONG observable: the first
+    step is ~lr*sign(g), hiding scale bugs and amplifying noise at g~0.)"""
+    model, disc, cfg, state, x, mask = dp_setup
+    grad_fn = make_grad_fn(model, disc, cfg)
+    keep = jnp.asarray([True, False, True, True])
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    copy = lambda t: jax.tree.map(jnp.array, t)
+    mesh8 = make_mesh(data=8)
+    with mesh8:
+        xs, ms = shard_batch(mesh8, (x, mask))
+        l8, g8 = grad_fn(replicate(mesh8, copy(state)), xs, ms, keep, k1, k2)
+        g8 = jax.tree.map(np.asarray, g8)
+    mesh1 = make_mesh(data=1, devices=jax.devices()[:1])
+    with mesh1:
+        x1, m1 = shard_batch(mesh1, (x, mask))
+        l1, g1 = grad_fn(replicate(mesh1, copy(state)), x1, m1, keep, k1, k2)
+        g1 = jax.tree.map(np.asarray, g1)
+    assert _tree_max_err(g8, g1) < 1e-5
+    assert abs(float(l8) - float(l1)) < 1e-5
+
+
+def test_train_step_dp_equals_single_device(dp_setup):
+    model, disc, cfg, state, x, mask = dp_setup
+    step = make_train_step(model, disc, cfg)
+    s_dp, m_dp, s_sd, m_sd = _run_both(step, state, (x, mask), (x, mask))
+    # losses/metrics are batch means — equality checks the reduction; params
+    # get a loose bound (~2 Adam steps) since the first Adam update is
+    # ~lr*sign(g) and summation-order noise flips signs where g ~ 0
+    assert abs(float(m_dp["loss"]) - float(m_sd["loss"])) < 1e-5
+    assert abs(float(m_dp["loss_d"]) - float(m_sd["loss_d"])) < 1e-5
+    assert _tree_max_err(s_dp.params_g, s_sd.params_g) < 3e-4
+    assert _tree_max_err(s_dp.params_d, s_sd.params_d) < 3e-4
+
+
+def test_pretrain_step_dp_equals_single_device(dp_setup):
+    model, disc, cfg, state, x, _mask = dp_setup
+    step = make_pretrain_step(model, cfg)
+    s_dp, m_dp, s_sd, m_sd = _run_both(step, state, (x,), (x,))
+    assert abs(float(m_dp["loss"]) - float(m_sd["loss"])) < 1e-5
+    assert _tree_max_err(s_dp.params_g, s_sd.params_g) < 3e-4

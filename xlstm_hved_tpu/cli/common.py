@@ -54,7 +54,42 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="host:port of process 0 (empty = auto-detect on TPU)")
     p.add_argument("--num_processes", type=int, default=0)
     p.add_argument("--process_id", type=int, default=-1)
+    p.add_argument("--dataset", type=str, default="brats",
+                   choices=["brats", "isles"],
+                   help="brats: per-subject NIfTI dirs; isles: HDF5 with "
+                        "Bernoulli(0.5) modality dropout (reference "
+                        "ISLESset, BraTSdataset.py:176-273)")
+    p.add_argument("--h5_path", type=str, default="",
+                   help="HDF5 file for --dataset isles")
+    p.add_argument("--sdm", action="store_true",
+                   help="add the boundary loss <seg, SDM(gt)> to the "
+                        "generator objective (reference optional path, "
+                        "loss.py:136-146, utils.py:217-257)")
+    p.add_argument("--weight_bd", type=float, default=0.5,
+                   help="boundary-loss weight (only with --sdm)")
     return p
+
+
+def make_datasets(args):
+    """(trainset, validset) per --dataset. BraTS: two NIfTI directory sets.
+    ISLES: one HDF5 split 80/20 by index (the reference passes explicit
+    index lists; a deterministic split keeps the CLI self-contained)."""
+    from xlstm_hved_tpu.data.brats import BraTSDataset, ISLESDataset
+
+    if args.dataset == "isles":
+        assert args.h5_path, "--dataset isles requires --h5_path"
+        import h5py
+
+        with h5py.File(args.h5_path, "r") as f:
+            n = len(f["images"])
+        split = max(int(n * 0.8), 1)
+        train = ISLESDataset(args.h5_path, indices=range(split),
+                             m_full=False, seed=args.seed)
+        valid = ISLESDataset(args.h5_path, indices=range(split, n),
+                             m_full=True, seed=args.seed + 1)
+        return train, valid
+    return (BraTSDataset(args.train_dir, m_full=True, seed=args.seed),
+            BraTSDataset(args.valid_dir, m_full=True, seed=args.seed + 1))
 
 
 def maybe_init_distributed(args) -> Tuple[int, int]:
@@ -83,6 +118,8 @@ def train_cfg_from_args(args, steps_per_epoch=None) -> TrainConfig:
         weight_decay=1e-5,
         weight_adv=args.weight_adv,
         weight_vae=args.weight_vae,
+        use_sdm=getattr(args, "sdm", False),
+        weight_bd=getattr(args, "weight_bd", 0.5),
         crop_size=tuple(args.crop_size),
         train_batch=args.train_batch,
         valid_batch=args.valid_batch,

@@ -21,11 +21,12 @@ from xlstm_hved_tpu.cli.common import (
     assemble_eval_batch,
     assemble_train_batch,
     base_parser,
+    make_datasets,
     maybe_init_distributed,
     print_args,
     train_cfg_from_args,
 )
-from xlstm_hved_tpu.data.brats import BraTSDataset, prefetch_loader
+from xlstm_hved_tpu.data.brats import prefetch_loader
 from xlstm_hved_tpu.engine.checkpoint import CheckpointManager, surgical_restore
 from xlstm_hved_tpu.engine.train import (
     create_train_state,
@@ -52,8 +53,7 @@ def main(argv=None):
         print_args(args)
     rng = jax.random.PRNGKey(args.seed)
 
-    trainset = BraTSDataset(args.train_dir, m_full=True, seed=args.seed)
-    validset = BraTSDataset(args.valid_dir, m_full=True, seed=args.seed + 1)
+    trainset, validset = make_datasets(args)
     steps_per_epoch = max(len(trainset) // args.train_batch, 1)
     cfg = train_cfg_from_args(args, steps_per_epoch)
 
@@ -99,15 +99,23 @@ def main(argv=None):
                                          shard=data_shard):
                 rng, k_aug, k_step = jax.random.split(rng, 3)
                 x, _xm, mask = assemble_train_batch(items, cfg.crop_size, k_aug)
-                x, mask = shard_batch(mesh, (x, mask))
-                state, metrics = train_step(state, x, mask, k_step)
+                if cfg.use_sdm:
+                    from xlstm_hved_tpu.data.sdm import compute_sdm
+                    sdm = jnp.asarray(
+                        compute_sdm(np.asarray(mask) > 0.5))
+                    x, mask, sdm = shard_batch(mesh, (x, mask, sdm))
+                    state, metrics = train_step(state, x, mask, k_step, sdm)
+                else:
+                    x, mask = shard_batch(mesh, (x, mask))
+                    state, metrics = train_step(state, x, mask, k_step)
                 for k in tr:
                     tr[k].update(float(metrics[k]))
 
             va = {k: RunningAverage() for k in
                   ("vloss", "dice", "wt_dice", "tc_dice", "ec_dice",
                    "wt_dice_m", "tc_dice_m", "ec_dice_m")}
-            if epoch < 5 or (epoch + 1) % args.validate_every == 0:
+            did_validate = epoch < 5 or (epoch + 1) % args.validate_every == 0
+            if did_validate:
                 for items in prefetch_loader(validset, args.valid_batch,
                                              shuffle=False, seed=0,
                                              shard=data_shard):
@@ -118,34 +126,39 @@ def main(argv=None):
                     for k in va:
                         va[k].update(float(m[k]))
 
+            vloss = va["vloss"].avg if did_validate else None
+            vdice = va["dice"].avg if did_validate else None
             if is_main:
                 best_vloss, best_dice = ckpt.save_epoch(
-                    state, epoch, va["vloss"].avg, va["dice"].avg,
-                    best_vloss, best_dice)
+                    state, epoch, vloss, vdice, best_vloss, best_dice)
             else:  # track bests without rank-0's checkpoint I/O
-                if va["vloss"].avg < best_vloss:
-                    best_vloss = va["vloss"].avg
-                if va["dice"].avg > best_dice:
-                    best_dice = va["dice"].avg
+                if did_validate:
+                    best_vloss = min(best_vloss, vloss)
+                    best_dice = max(best_dice, vdice)
                 continue
-            csvlog.append({
+            row = {
                 "Epoch": epoch, "Train_Loss": tr["loss"].avg,
                 "Train_dice": tr["train_dice"].avg,
                 "Train_wt_dice": tr["wt_dice"].avg,
                 "Train_tc_dice": tr["tc_dice"].avg,
                 "Train_ec_dice": tr["ec_dice"].avg,
-                "Valid_Loss": va["vloss"].avg, "Valid_dice": va["dice"].avg,
-                "Valid_wt_dice": va["wt_dice"].avg,
-                "Valid_tc_dice": va["tc_dice"].avg,
-                "Valid_ec_dice": va["ec_dice"].avg,
-                "Valid_wt_dice_m": va["wt_dice_m"].avg,
-                "Valid_tc_dice_m": va["tc_dice_m"].avg,
-                "Valid_ec_dice_m": va["ec_dice_m"].avg,
-            })
+            }
+            if did_validate:
+                row.update({
+                    "Valid_Loss": vloss, "Valid_dice": vdice,
+                    "Valid_wt_dice": va["wt_dice"].avg,
+                    "Valid_tc_dice": va["tc_dice"].avg,
+                    "Valid_ec_dice": va["ec_dice"].avg,
+                    "Valid_wt_dice_m": va["wt_dice_m"].avg,
+                    "Valid_tc_dice_m": va["tc_dice_m"].avg,
+                    "Valid_ec_dice_m": va["ec_dice_m"].avg,
+                })
+            csvlog.append(row)
+            vtxt = (f"vloss {vloss:.4f} vdice {vdice:.4f}"
+                    if did_validate else "no-val")
             print(f"Epoch [{epoch}/{args.num_epochs}] "
                   f"loss {tr['loss'].avg:.4f} dice {tr['train_dice'].avg:.4f} "
-                  f"vloss {va['vloss'].avg:.4f} vdice {va['dice'].avg:.4f} "
-                  f"({time.perf_counter()-t0:.1f}s)")
+                  f"{vtxt} ({time.perf_counter()-t0:.1f}s)")
 
 
 if __name__ == "__main__":

@@ -53,7 +53,10 @@ class HVEDConfig:
     # compute policy
     compute_dtype: str = "float32"      # 'bfloat16' on TPU for speed
     vil_chunk_size: int = 128
-    use_pallas_mlstm: bool = False
+    # None = auto: fused Pallas kernel on TPU, XLA chunkwise scan elsewhere.
+    # On TPU the kernel is both faster and closer to the fp64 oracle (see
+    # ops/mlstm.py docstring on matmul precision).
+    use_pallas_mlstm: Optional[bool] = None
     remat: bool = False                 # rematerialize encoder/decoder stages
     # in backward (jax.checkpoint per stage): enables training the reference
     # crop (128x192x128, batch 1) within one chip's 16 GB HBM
@@ -138,12 +141,26 @@ MODEL_ZOO = {
                                skip_return=True, mid_vil=True),
 }
 
-# Aliases the reference registry points at missing classes; map them to the
-# closest existing config so every registered name resolves.
+# Every name in the reference registry (/root/reference/classic_models/
+# __init__.py:2-28) must resolve here. Aliases mapped to an existing class by
+# the reference itself keep that mapping; names the reference points at
+# NONEXISTENT classes (import-time NameError there) map to the closest
+# existing config by name semantics.
 MODEL_ALIASES = {
+    # aliases the reference maps to real classes (same mapping kept)
+    "U_HVEDConvDuSFEmViLNet3D_pretrain": "U_HVEDConvDuSFEmViLNet3D",
+    "U_HVEDDuSFEmViLDFNet3D": "U_HVEDConvDuSFEmViLSkrNet3D",
+    "XLSTM_HVED_missing1": "XLSTM_HVED",
+    # names the reference registers but never defines (SURVEY.md §4 defect 1)
     "RA_HVED": "XLSTM_HVED",
     "XLSTM_HVED_drop_vil": "XLSTM_HVED_woViL",
-    "U_HVEDDuSFEmViLDFNet3D": "U_HVEDConvDuSFEmViLNet3D",
+    "XLSTM_HVED_woME_VAEback": "XLSTM_HVED",
+    "XLSTM_HVED_woME_VAEback_woViL": "XLSTM_HVED_woViL",
+    "XLSTM_HVED_woME_VAEback_CK": "XLSTM_HVED",
+    "XLSTM_HVED_woME_VAEback_ViLAtt": "XLSTM_HVED",
+    "XLSTM_HVED_woME_VAEback_ViLAtt_woskip_vil_m1": "XLSTM_HVED",
+    "XLSTM_HVED_woME_VAEback_ViLAtt_DC": "XLSTM_HVED",
+    "XLSTM_HVED_woME_VAEback_ViLAtt_DC_noPretrain": "XLSTM_HVED",
 }
 
 
@@ -167,6 +184,9 @@ class TrainConfig:
     weight_decay: float = 1e-5
     weight_adv: float = 0.1     # alpha
     weight_vae: float = 0.2     # beta
+    use_sdm: bool = False       # add boundary loss <seg, SDM(gt)>
+    weight_bd: float = 0.5      # boundary-loss weight (reference leaves the
+    # SDM path unwired, loss.py:136-146/utils.py:217-257; weight chosen here)
     poly_power: float = 0.9
     crop_size: Tuple[int, int, int] = (128, 192, 128)
     train_batch: int = 1

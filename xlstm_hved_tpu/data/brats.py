@@ -161,3 +161,61 @@ class HDF5Dataset:
         lab = (np.asarray(self.labels[index], np.int32)
                if self.labels is not None else None)
         return np.moveaxis(img, 0, -1), lab
+
+
+class ISLESDataset:
+    """ISLES HDF5 dataset (reference ISLESset,
+    /root/reference/BraTSdataset.py:176-273): an .h5 with 'images' (N, 4, D,
+    H, W) and 'masks' (N, D, H, W); per-channel z-score over non-background
+    voxels; per-modality Bernoulli(0.5) dropout (each modality independently
+    DROPPED when rand > 0.5, BraTSdataset.py:247-262) with >=1 modality kept
+    and, when m_full=False, >=1 dropped (:265-273).
+
+    The reference's dynamic extract_brain crop becomes the same static pad
+    policy as BraTSDataset (TPU shapes must be static); bg_info still marks
+    the brain bbox corner for the croppers.
+    """
+
+    def __init__(self, path: str, indices: Optional[Sequence[int]] = None,
+                 m_full: bool = False, zscore: bool = True, seed: int = 0,
+                 image_key: str = "images", mask_key: str = "masks"):
+        import h5py
+
+        self.f = h5py.File(path, "r")
+        self.images = self.f[image_key]
+        self.masks = self.f[mask_key] if mask_key in self.f else None
+        self.indices = (list(indices) if indices is not None
+                        else list(range(len(self.images))))
+        self.m_full = m_full
+        self.zscore = zscore
+        self.rng = np.random.RandomState(seed)
+        self.subjects = [str(i) for i in self.indices]  # loader parity
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def sample_keep(self) -> np.ndarray:
+        """Bernoulli(0.5) per-modality keep (True = present)."""
+        keep = self.rng.rand(4) <= 0.5  # dropped when rand > 0.5
+        if not keep.any():
+            keep[self.rng.randint(4)] = True
+        if not self.m_full and keep.all():
+            keep[self.rng.randint(4)] = False
+        return keep
+
+    def load(self, index: int):
+        """(img (D,H,W,4) fp32 z-scored, labels (D,H,W) int32, keep (4,)
+        bool, bg_info (3,)) — the same item contract as BraTSDataset."""
+        from xlstm_hved_tpu.data.transforms import (background_info,
+                                                    host_zscore_nonzero)
+
+        i = self.indices[index]
+        img = np.asarray(self.images[i], np.float32)      # (4, D, H, W)
+        if self.zscore:
+            img = host_zscore_nonzero(img)
+        lab = (np.asarray(self.masks[i], np.int32)
+               if self.masks is not None
+               else np.zeros(img.shape[1:], np.int32))
+        bg = background_info(img)
+        return (np.moveaxis(img, 0, -1).astype(np.float32), lab,
+                self.sample_keep(), bg)

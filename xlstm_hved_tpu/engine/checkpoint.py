@@ -46,19 +46,28 @@ class CheckpointManager:
         with open(self._meta_path(name), "w") as f:
             json.dump(meta, f)
 
-    def save_epoch(self, state, epoch: int, vloss: float, dice: float,
-                   best_vloss: float, best_dice: float) -> Tuple[float, float]:
+    def save_epoch(self, state, epoch: int, vloss: Optional[float],
+                   dice: Optional[float], best_vloss: float,
+                   best_dice: float) -> Tuple[float, float]:
         """Apply the reference's policy: always save latest; save best_vloss /
-        best_dice on improvement; periodic backup. Returns updated bests."""
-        meta = dict(epoch=epoch, vloss=float(vloss), dice=float(dice),
+        best_dice on improvement; periodic backup. Returns updated bests.
+
+        Pass vloss/dice as None on epochs where validation did not run
+        (--validate_every > 1): latest/backup are still written but the
+        best trackers are untouched — a zero-filled metric must never
+        clobber best_vloss/best_dice."""
+        validated = vloss is not None and dice is not None
+        meta = dict(epoch=epoch,
+                    vloss=float(vloss) if validated else None,
+                    dice=float(dice) if validated else None,
                     best_vloss=float(best_vloss), best_dice=float(best_dice))
         if epoch % self.backup_interval == 0:
             self._save(os.path.join("backups", f"epoch{epoch}"), state, meta)
-        if vloss < best_vloss:
+        if validated and vloss < best_vloss:
             best_vloss = float(vloss)
             meta["best_vloss"] = best_vloss
             self._save("best_vloss", state, meta)
-        if dice > best_dice:
+        if validated and dice > best_dice:
             best_dice = float(dice)
             meta["best_dice"] = best_dice
             self._save("best_dice", state, meta)

@@ -129,8 +129,16 @@ def make_subset_sweep(
     """
     predict = make_sliding_window(apply_fn, patch, stride, out_channels,
                                   recon_channels)
-    keeps = jnp.asarray(SUBSET_MASKS)  # (15, 4)
-    assert keeps.shape[0] % subset_chunk == 0
+    n_subsets = len(SUBSET_MASKS)
+    if not 1 <= subset_chunk <= n_subsets:
+        raise ValueError(f"subset_chunk must be in [1, {n_subsets}], "
+                         f"got {subset_chunk}")
+    # any chunk size works: pad the subset table to a chunk multiple with
+    # repeats of the last row and drop the padded outputs afterwards
+    n_pad = (-n_subsets) % subset_chunk
+    table = np.concatenate(
+        [SUBSET_MASKS, np.repeat(SUBSET_MASKS[-1:], n_pad, axis=0)])
+    keeps = jnp.asarray(table)  # (15 + n_pad, 4)
 
     @jax.jit
     def sweep(variables, x):
@@ -140,7 +148,7 @@ def make_subset_sweep(
             return jax.vmap(lambda k: predict(variables, x, k)[0])(keep_chunk)
 
         segs = jax.lax.map(run_chunk, chunks)
-        return segs.reshape((-1,) + segs.shape[2:])
+        return segs.reshape((-1,) + segs.shape[2:])[:n_subsets]
 
     if not recon_channels:
         return sweep
@@ -153,8 +161,8 @@ def make_subset_sweep(
             return jax.vmap(lambda k: predict(variables, x, k))(keep_chunk)
 
         segs, recons = jax.lax.map(run_chunk, chunks)
-        return (segs.reshape((-1,) + segs.shape[2:]),
-                recons.reshape((-1,) + recons.shape[2:]))
+        return (segs.reshape((-1,) + segs.shape[2:])[:n_subsets],
+                recons.reshape((-1,) + recons.shape[2:])[:n_subsets])
 
     return sweep_with_recon
 

@@ -26,6 +26,7 @@ from flax import struct
 
 from xlstm_hved_tpu.config import TrainConfig
 from xlstm_hved_tpu.losses import (
+    boundary_loss,
     compute_kld_subsets,
     dice_loss,
     gan_loss_lsgan,
@@ -102,16 +103,11 @@ def create_train_state(model, disc, cfg: TrainConfig, rng: jax.Array,
     return state, {"tx": tx}
 
 
-def make_train_step(model, disc, cfg: TrainConfig, steps_per_epoch: int = 1,
-                    freeze_mask: Optional[Any] = None) -> Callable:
-    """Build the jitted train step. `freeze_mask` is an optional pytree of
-    0/1 matching params_g that zeroes gradients (the reference freezes
-    srdecoder.sdecoders during pretraining, Pretrain.py:146-148)."""
-    tx = make_optimizer(cfg, steps_per_epoch)
+def _build_loss_g(model, disc, cfg: TrainConfig) -> Callable:
+    """The generator objective shared by make_train_step and make_grad_fn."""
     alpha, beta = cfg.weight_adv, cfg.weight_vae
-    subset_table = jnp.asarray(SUBSET_MASKS)
 
-    def loss_g_fn(params_g, state, x, mask, keep, k1, k2):
+    def loss_g_fn(params_g, state, x, mask, keep, k1, k2, sdm=None):
         mvars = {"params": params_g}
         has_bs = bool(state.batch_stats_g)
         if has_bs:
@@ -149,6 +145,10 @@ def make_train_step(model, disc, cfg: TrainConfig, steps_per_epoch: int = 1,
         g_gan = gan_loss_lsgan(pred_fake, True)
 
         loss = dice + m_dice + beta * recon + beta * kld + alpha * g_gan
+        bd = jnp.zeros(())
+        if sdm is not None:  # --sdm boundary loss (reference loss.py:136-146)
+            bd = boundary_loss(out_f.seg, sdm) + boundary_loss(out_m.seg, sdm)
+            loss = loss + cfg.weight_bd * bd
         aux = dict(
             new_bs=new_bs,
             f_seg=jax.lax.stop_gradient(out_f.seg),
@@ -156,9 +156,40 @@ def make_train_step(model, disc, cfg: TrainConfig, steps_per_epoch: int = 1,
             atten_f=jax.lax.stop_gradient(atten_f),
             atten_m=jax.lax.stop_gradient(atten_m),
             losses=dict(loss=loss, dice=dice, m_dice=m_dice, recon=recon,
-                        kld=kld, g_gan=g_gan),
+                        kld=kld, g_gan=g_gan, bd=bd),
         )
         return loss, aux
+
+    return loss_g_fn
+
+
+def make_grad_fn(model, disc, cfg: TrainConfig) -> Callable:
+    """Jitted (state, x, mask, keep, k1, k2) -> (loss, grads_g): the raw
+    generator gradients BEFORE the optimizer. This is the right observable
+    for data-parallel == single-device equivalence checks — post-Adam params
+    are nearly scale-invariant in the gradient (update ~ lr*sign(g) at step
+    1), so they can neither expose a wrong gradient scale nor stay bit-close
+    where g ~ 0."""
+    loss_g_fn = _build_loss_g(model, disc, cfg)
+
+    @jax.jit
+    def grad_fn(state, x, mask, keep, k1, k2):
+        (loss, _aux), grads = jax.value_and_grad(loss_g_fn, has_aux=True)(
+            state.params_g, state, x, mask, keep, k1, k2)
+        return loss, grads
+
+    return grad_fn
+
+
+def make_train_step(model, disc, cfg: TrainConfig, steps_per_epoch: int = 1,
+                    freeze_mask: Optional[Any] = None) -> Callable:
+    """Build the jitted train step. `freeze_mask` is an optional pytree of
+    0/1 matching params_g that zeroes gradients (the reference freezes
+    srdecoder.sdecoders during pretraining, Pretrain.py:146-148)."""
+    tx = make_optimizer(cfg, steps_per_epoch)
+    alpha = cfg.weight_adv
+    subset_table = jnp.asarray(SUBSET_MASKS)
+    loss_g_fn = _build_loss_g(model, disc, cfg)
 
     def loss_d_fn(params_d, aux):
         pred_fake = disc.apply(
@@ -172,13 +203,13 @@ def make_train_step(model, disc, cfg: TrainConfig, steps_per_epoch: int = 1,
         return alpha * (loss_fake + loss_real) * 0.5
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, x, mask, key):
+    def train_step(state: TrainState, x, mask, key, sdm=None):
         k_sub, k1, k2 = jax.random.split(key, 3)
         subset_idx = sample_subset_index(k_sub, 1, 3)
         keep = subset_table[subset_idx]
 
         (loss, aux), grads_g = jax.value_and_grad(loss_g_fn, has_aux=True)(
-            state.params_g, state, x, mask, keep, k1, k2)
+            state.params_g, state, x, mask, keep, k1, k2, sdm)
         if freeze_mask is not None:
             grads_g = jax.tree.map(lambda g, m: g * m, grads_g, freeze_mask)
         updates_g, opt_g = tx.update(grads_g, state.opt_state_g, state.params_g)

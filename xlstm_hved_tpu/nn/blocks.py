@@ -392,7 +392,8 @@ class DecoderStage(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, encoder_features, x, up_size=None, train: bool = False):
+    def __call__(self, encoder_features, x, up_size=None, train: bool = False,
+                 recon_features=None):
         transposed = self.basic_module == "ext_resnet"
         if transposed:
             # reference's ResNet path: conv1x1 to target channels + interp,
@@ -411,8 +412,20 @@ class DecoderStage(nn.Module):
             if self.mvae:
                 x = AttenModule2(dtype=self.dtype, name="atten")(x, encoder_features)
             else:
-                raise NotImplementedError(
-                    "non-MVAE AttenModule joining is wired in models/hved.py")
+                # Non-MVAE RSM joining: AttenModule over the per-modality
+                # encoder + recon feature lists. NOTE: the reference builds
+                # this path (buildingblocks.py:676-700 with MVAE=False) but
+                # its forward never passes recon_features — calling it there
+                # raises TypeError (iterating None, buildingblocks.py:215),
+                # so no reference-parity preset enables it. Wired here so the
+                # module is usable as designed.
+                assert isinstance(encoder_features, (list, tuple)) and \
+                    isinstance(recon_features, (list, tuple)), (
+                        "non-MVAE RSM needs per-modality encoder and recon "
+                        "feature lists")
+                x = AttenModule(features=self.features, dtype=self.dtype,
+                                name="atten")(x, encoder_features,
+                                              recon_features)
         elif encoder_features is not None:
             if transposed:
                 x = encoder_features + x
