@@ -156,7 +156,9 @@ class MatrixLSTMCell(nn.Module):
     dim: int
     num_heads: int
     chunk_size: int = 128
-    use_pallas: bool = False
+    # None = auto: fused Pallas kernel on TPU (faster AND closer to the fp64
+    # oracle than the XLA scan — see ops/mlstm.py docstring), scan elsewhere.
+    use_pallas: Optional[bool] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -177,7 +179,9 @@ class MatrixLSTMCell(nn.Module):
         )(gate_in.astype(jnp.float32))
 
         to_heads = lambda t: t.reshape(B, S, NH, DH).transpose(0, 2, 1, 3)
-        if self.use_pallas:
+        use_pallas = (jax.default_backend() == "tpu"
+                      if self.use_pallas is None else self.use_pallas)
+        if use_pallas:
             from xlstm_hved_tpu.ops.mlstm_pallas import mlstm_pallas
             h = mlstm_pallas(
                 to_heads(q), to_heads(k), to_heads(v),
@@ -205,7 +209,7 @@ class ViLLayer(nn.Module):
     conv_bias: bool = True
     kernel_size: int = 4
     chunk_size: int = 128
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -278,7 +282,7 @@ class ViLBlock(nn.Module):
     dim: int
     reverse: bool = False
     chunk_size: int = 128
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
     drop_path: float = 0.0
     dtype: Optional[Dtype] = None
 
@@ -302,7 +306,7 @@ class ViLLayer3D(nn.Module):
     dim: int
     channel_token: bool = False
     chunk_size: int = 128
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x):
