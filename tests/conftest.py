@@ -14,12 +14,18 @@ jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Files whose tests are compile-heavy end to end (full-model fixtures).
+# Measured on this 1-core container (pytest --durations): the three
+# model-forward files alone cost ~21 min of the former 27-min "quick" run.
 _SLOW_FILES = {
     "test_cli_e2e.py",
     "test_engine.py",
     "test_goldens.py",
+    "test_model_forward.py",
+    "test_models_extra.py",
     "test_parallel.py",
     "test_remat.py",
+    "test_torch_parity.py",
+    "test_uxlstm.py",
 }
 
 

@@ -171,3 +171,14 @@ def test_pretrain_step_dp_equals_single_device(dp_setup):
     s_dp, m_dp, s_sd, m_sd = _run_both(step, state, (x,), (x,))
     assert abs(float(m_dp["loss"]) - float(m_sd["loss"])) < 1e-5
     assert _tree_max_err(s_dp.params_g, s_sd.params_g) < 3e-4
+
+
+def test_allreduce_averages_single_process():
+    from xlstm_hved_tpu.parallel.mesh import allreduce_averages
+    from xlstm_hved_tpu.utils.logging import RunningAverage
+
+    a, b = RunningAverage(), RunningAverage()
+    a.update(1.0), a.update(3.0)
+    b.update(10.0, n=4)
+    out = allreduce_averages({"a": a, "b": b})
+    assert out == {"a": 2.0, "b": 10.0}

@@ -34,7 +34,12 @@ from xlstm_hved_tpu.engine.train import (
     make_train_step,
 )
 from xlstm_hved_tpu.models import Discriminator, find_model_using_name
-from xlstm_hved_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from xlstm_hved_tpu.parallel.mesh import (
+    allreduce_averages,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
 from xlstm_hved_tpu.utils.logging import CSVLogger, RunningAverage, profiler_trace
 
 CSV_FIELDS = [
@@ -126,8 +131,12 @@ def main(argv=None):
                     for k in va:
                         va[k].update(float(m[k]))
 
-            vloss = va["vloss"].avg if did_validate else None
-            vdice = va["dice"].avg if did_validate else None
+            # Cross-host mean of per-shard metrics: every process sees the
+            # same global numbers, so best-checkpoint decisions agree.
+            trg = allreduce_averages(tr)
+            vag = allreduce_averages(va) if did_validate else {}
+            vloss = vag["vloss"] if did_validate else None
+            vdice = vag["dice"] if did_validate else None
             if is_main:
                 best_vloss, best_dice = ckpt.save_epoch(
                     state, epoch, vloss, vdice, best_vloss, best_dice)
@@ -137,27 +146,27 @@ def main(argv=None):
                     best_dice = max(best_dice, vdice)
                 continue
             row = {
-                "Epoch": epoch, "Train_Loss": tr["loss"].avg,
-                "Train_dice": tr["train_dice"].avg,
-                "Train_wt_dice": tr["wt_dice"].avg,
-                "Train_tc_dice": tr["tc_dice"].avg,
-                "Train_ec_dice": tr["ec_dice"].avg,
+                "Epoch": epoch, "Train_Loss": trg["loss"],
+                "Train_dice": trg["train_dice"],
+                "Train_wt_dice": trg["wt_dice"],
+                "Train_tc_dice": trg["tc_dice"],
+                "Train_ec_dice": trg["ec_dice"],
             }
             if did_validate:
                 row.update({
                     "Valid_Loss": vloss, "Valid_dice": vdice,
-                    "Valid_wt_dice": va["wt_dice"].avg,
-                    "Valid_tc_dice": va["tc_dice"].avg,
-                    "Valid_ec_dice": va["ec_dice"].avg,
-                    "Valid_wt_dice_m": va["wt_dice_m"].avg,
-                    "Valid_tc_dice_m": va["tc_dice_m"].avg,
-                    "Valid_ec_dice_m": va["ec_dice_m"].avg,
+                    "Valid_wt_dice": vag["wt_dice"],
+                    "Valid_tc_dice": vag["tc_dice"],
+                    "Valid_ec_dice": vag["ec_dice"],
+                    "Valid_wt_dice_m": vag["wt_dice_m"],
+                    "Valid_tc_dice_m": vag["tc_dice_m"],
+                    "Valid_ec_dice_m": vag["ec_dice_m"],
                 })
             csvlog.append(row)
             vtxt = (f"vloss {vloss:.4f} vdice {vdice:.4f}"
                     if did_validate else "no-val")
             print(f"Epoch [{epoch}/{args.num_epochs}] "
-                  f"loss {tr['loss'].avg:.4f} dice {tr['train_dice'].avg:.4f} "
+                  f"loss {trg['loss']:.4f} dice {trg['train_dice']:.4f} "
                   f"{vtxt} ({time.perf_counter()-t0:.1f}s)")
 
 

@@ -37,6 +37,7 @@ class Conv3DFast(nn.Module):
     stride: int = 1
     use_bias: bool = True
     dtype: Optional[Any] = None
+    conv_mode: Optional[str] = None  # ops/conv3d.py formulation override
 
     @nn.compact
     def __call__(self, x):
@@ -50,7 +51,8 @@ class Conv3DFast(nn.Module):
                 if self.use_bias else None)
         return conv3d_slab(x.astype(dtype), kernel.astype(dtype),
                            stride=self.stride,
-                           bias=None if bias is None else bias)
+                           bias=None if bias is None else bias,
+                           mode=self.conv_mode)
 
 
 class Conv1x1(nn.Module):
@@ -81,13 +83,27 @@ class Conv1x1(nn.Module):
 
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """Per-sample, per-channel normalization over spatial dims (no affine),
-    matching torch InstanceNorm3d defaults. Stats in fp32."""
+    matching torch InstanceNorm3d defaults. Stats in fp32.
+
+    Half-precision inputs use the one-read E[x], E[x^2] formulation: both
+    moments come out of a single fused pass over the bf16 input instead of
+    jnp.mean + jnp.var materializing and re-reading an f32 copy. Measured
+    in-graph on the chip at 128^3x16ch: IN+leaky+conv chain 1.13 -> 0.85 ms.
+    The m2 - m1^2 cancellation costs ~1e-7 * (m2/var) relative error —
+    invisible next to bf16 quantization (~8e-3), but it IS visible to the
+    fp32 torch-parity suite (pushed stacked-IN nets to 5e-5 mean error), so
+    f32 inputs keep the better-conditioned two-pass centered variance."""
     orig_dtype = x.dtype
-    x32 = x.astype(jnp.float32)
     axes = tuple(range(1, x.ndim - 1))
-    mean = jnp.mean(x32, axis=axes, keepdims=True)
-    var = jnp.var(x32, axis=axes, keepdims=True)
-    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(orig_dtype)
+    x32 = x.astype(jnp.float32)
+    if orig_dtype in (jnp.bfloat16, jnp.float16):
+        m1 = jnp.mean(x32, axis=axes, keepdims=True)
+        m2 = jnp.mean(jnp.square(x32), axis=axes, keepdims=True)
+        var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+    else:
+        m1 = jnp.mean(x32, axis=axes, keepdims=True)
+        var = jnp.var(x32, axis=axes, keepdims=True)
+    return ((x32 - m1) * jax.lax.rsqrt(var + eps)).astype(orig_dtype)
 
 
 def leaky_relu(x, negative_slope=1e-2):
@@ -128,6 +144,7 @@ class SingleConv(nn.Module):
     order: str = "gcr"
     num_groups: int = 8
     dtype: Optional[Dtype] = None
+    conv_mode: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -136,7 +153,8 @@ class SingleConv(nn.Module):
         for char in self.order:
             if char == "c":
                 x = Conv3DFast(self.features, self.kernel_size, self.stride,
-                               use_bias=bias, dtype=self.dtype)(x)
+                               use_bias=bias, dtype=self.dtype,
+                               conv_mode=self.conv_mode)(x)
             elif char == "i":
                 x = instance_norm(x)
             elif char == "l":
@@ -168,6 +186,7 @@ class DoubleConv(nn.Module):
     order: str = "gcr"
     num_groups: int = 8
     dtype: Optional[Dtype] = None
+    conv1_mode: Optional[str] = None  # formulation override for conv1 only
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -177,7 +196,8 @@ class DoubleConv(nn.Module):
         else:
             mid = self.features
         x = SingleConv(mid, self.kernel_size, 1, self.order, self.num_groups,
-                       dtype=self.dtype, name="conv1")(x, train=train)
+                       dtype=self.dtype, conv_mode=self.conv1_mode,
+                       name="conv1")(x, train=train)
         x = SingleConv(self.features, self.kernel_size, self.pool_stride,
                        self.order, self.num_groups, dtype=self.dtype,
                        name="conv2")(x, train=train)
@@ -435,10 +455,16 @@ class DecoderStage(nn.Module):
                 x = jnp.concatenate(list(feats) + [x], axis=-1)
 
         module = make_basic_module(self.basic_module)
+        kw = {}
+        if self.basic_module == "double_conv":
+            # conv1 consumes the fresh join concat; depthfold would stack a
+            # second concat on top and XLA inserts a full relayout copy
+            # (302 MB at 128^3, HLO dump) — slab reads the join in place.
+            kw["conv1_mode"] = "slab"
         x = module(features=self.features, encoder=False,
                    kernel_size=self.kernel_size, order=self.order,
                    num_groups=self.num_groups, dtype=self.dtype,
-                   name="basic")(x, train=train)
+                   name="basic", **kw)(x, train=train)
         return x
 
 

@@ -27,7 +27,10 @@ class PReLU(nn.Module):
     @nn.compact
     def __call__(self, x):
         a = self.param("alpha", nn.initializers.constant(self.init), ())
-        return jnp.where(x >= 0, x, a * x)
+        # compute in x.dtype: the f32 scalar would otherwise promote the
+        # whole downstream gate chain to f32 (a 134 MB full-res f32 add
+        # showed up in the HLO traffic dump from exactly this)
+        return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
 
 
 class ConvNorm(nn.Module):

@@ -33,13 +33,15 @@ import jax
 import jax.numpy as jnp
 
 # Global default formulation for k>1 convs: "depthfold" or "slab".
-# Isolated microbenchmarks favor depthfold (0.60 vs 1.82 ms for the
-# 3^3/16ch/128^3 conv), but in the FULL flagship graph slab wins (52.9 vs
-# 57.8 ms forward): XLA fuses the roll/mask/add chain with neighboring
-# elementwise ops, while depthfold's concat is a fusion barrier that
-# rematerializes kd copies of each activation. Overridable per call;
-# env var for experiments.
-_DEFAULT_MODE = os.environ.get("XHVED_CONV3D_MODE", "slab")
+# Round-1 measured slab winning in-graph (52.9 vs 57.8 ms full forward),
+# but that inverted once pointwise convs and kd>=5 kernels left the slab
+# path: with the round-2 graph, global depthfold benches 21.6 ms vs slab's
+# 26.2 (46.2 vs 38.2 vol/s) — the roll/mask/add chains were moving ~3x the
+# conv's own bytes at 128^3 (HLO traffic dump, scripts/hlo_parse.py).
+# Overridable per call; env var for experiments.
+_DEFAULT_MODE = os.environ.get("XHVED_CONV3D_MODE", "depthfold")
+# depthfold -> slab fallback threshold on kd*Cin (see mode choice below)
+_FOLD_LIMIT = int(os.environ.get("XHVED_CONV3D_FOLD_LIMIT", "64"))
 
 
 def set_conv3d_mode(mode: str) -> None:
@@ -61,7 +63,15 @@ def conv3d_slab(
     pad_hw = [((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2]
     if mode is None:
         mode = _DEFAULT_MODE
-        if mode == "slab" and kd >= 5:
+        if mode == "depthfold" and kd * Cin > _FOLD_LIMIT:
+            # Wide-input convs (decoder joins: Cin = 3f after the RSM
+            # concat): depthfold's kd*Cin-channel concat materializes +
+            # relayouts ~2x the volume (HLO shows 302 MB reshape+copy at
+            # 128^3/36ch) and the probe has slab ahead there (2.48 vs
+            # 3.33 ms at 48ch). Narrow convs (encoders, gates, DRBs)
+            # stay depthfold. Explicit mode= requests are honored.
+            mode = "slab"
+        elif mode == "slab" and kd >= 5:
             # large depth kernels: the kd-pass slab's shift/add chain
             # dominates; depthfold halves the 7^3 gate convs (0.93 vs
             # 1.91 ms isolated). Explicit mode= requests are honored.

@@ -77,3 +77,28 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def allreduce_averages(avgs: dict) -> dict:
+    """Cross-host reduction of a dict of RunningAverage accumulators into
+    global means.
+
+    Each host validates only its own data shard; the reference
+    (single-process nn.DataParallel) never faced this, but multi-host JAX
+    does: without this reduction rank-0's local average alone would decide
+    best-checkpoint tracking. Gathers (sum, count) pairs from every process
+    and returns {key: global_sum / global_count}. Single-process: plain
+    local averages (no device traffic at all)."""
+    keys = sorted(avgs)
+    if jax.process_count() == 1:
+        return {k: avgs[k].avg for k in keys}
+    from jax.experimental import multihost_utils
+
+    local = np.asarray(
+        [[avgs[k].sum for k in keys], [float(avgs[k].count) for k in keys]],
+        np.float64)  # (2, K): sums row, counts row
+    gathered = multihost_utils.process_allgather(local)  # (P, 2, K)
+    sums = gathered[:, 0, :].sum(axis=0)
+    counts = gathered[:, 1, :].sum(axis=0)
+    return {k: float(sums[i] / max(counts[i], 1.0))
+            for i, k in enumerate(keys)}
