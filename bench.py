@@ -10,11 +10,16 @@ with per-iteration input perturbation, and the per-volume time is the slope
 between an N=4 and an N=20 loop (subtracting fixed dispatch cost).
 
 Baseline context (BASELINE.md): the reference publishes no numbers; the
-rebuild target is >=5x estimated A100 reference throughput. The reference's
-PyTorch forward at 128^3 materializes the O(S^2) mLSTM decay matrix and runs
-~50 cuDNN conv layers at f_maps=4; the measured-equivalent A100 figure for
-the full seg+recon forward is ~2.2 vol/s (fp16, batch 1).
-vs_baseline = value / (5 * 2.2) — 1.0 means the 5x-A100 target is met.
+rebuild target is ">=5x A100 reference throughput on a v5e-8". The A100
+figure is DERIVED, not asserted: scripts/baseline_derivation.py hooks every
+leaf module of the actual PyTorch flagship at 128^3 and applies an A100
+roofline to the measured shapes — see docs/BASELINE_DERIVATION.md. Its
+EAGER scenario (the reference as written, reference-favorable derates)
+gives ~50 vol/s. The 5x-on-8-chips target is therefore 5*50/8 = 31.25
+vol/s PER CHIP, and this bench runs on one chip:
+vs_baseline = value / (5 * 50 / 8) — 1.0 means the target is met.
+(Round 1 used an asserted 2.2 vol/s A100 figure; the derived constant is
+~23x harder on the per-chip basis.)
 """
 import json
 import time
@@ -23,8 +28,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-A100_REFERENCE_VOLS_PER_SEC = 2.2
+A100_REFERENCE_VOLS_PER_SEC = 50.0   # derived: docs/BASELINE_DERIVATION.md
 TARGET_MULTIPLIER = 5.0
+CHIPS_IN_TARGET_POD = 8.0            # "on a v5e-8" — target is per-pod
 
 
 def main():
@@ -64,7 +70,8 @@ def main():
     per_volume = (t_large - t_small) / 16.0
 
     vols_per_sec = shape[0] / per_volume
-    target = TARGET_MULTIPLIER * A100_REFERENCE_VOLS_PER_SEC
+    target = (TARGET_MULTIPLIER * A100_REFERENCE_VOLS_PER_SEC
+              / CHIPS_IN_TARGET_POD)  # per-chip share of the 5x-pod target
     print(json.dumps({
         "metric": "xlstm_hved_seg_recon_inference_128cubed",
         "value": round(vols_per_sec, 3),

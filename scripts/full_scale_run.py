@@ -53,7 +53,7 @@ def main():
     args = ap.parse_args()
 
     if args.quick:
-        shape, crop = (32, 48, 32), (16, 24, 16)
+        shape, crop = (32, 48, 32), (16, 32, 16)
         n_train, n_valid = 4, 2
         pre_epochs, tr_epochs = 1, 2
         disc_kernel = 3

@@ -110,6 +110,33 @@ def test_surgical_restore():
     assert len(loaded) == 1 and len(skipped) == 2
 
 
+def test_surgery_across_mismatched_checkpoint_trees(tmp_path):
+    """Regression: the pretrain net (shared_recon=False) saves a params tree
+    that is a strict subset of the flagship's; surgery must restore the
+    donor checkpoint WITHOUT a template (a templated orbax restore fails on
+    the missing rfinal_* heads before surgical_restore runs)."""
+    import flax.struct
+    from xlstm_hved_tpu.engine.checkpoint import CheckpointManager
+
+    @flax.struct.dataclass
+    class MiniState:
+        params_g: dict
+
+    donor_state = MiniState(params_g={"enc": {"w": jnp.ones((2, 2))}})
+    mgr = CheckpointManager(str(tmp_path / "donor_pretrain"))
+    mgr._save("best_vloss", donor_state, {"epoch": 1})
+
+    # target has an extra head the donor lacks (the rfinal_3 analog)
+    target = {"enc": {"w": jnp.zeros((2, 2))},
+              "rfinal": {"w": jnp.zeros((3,))}}
+    raw, _meta = CheckpointManager(
+        str(tmp_path / "donor_pretrain")).restore_raw("best_vloss")
+    merged, loaded, skipped = surgical_restore(target, raw["params_g"])
+    assert np.all(np.asarray(merged["enc"]["w"]) == 1)
+    assert np.all(np.asarray(merged["rfinal"]["w"]) == 0)
+    assert len(loaded) == 1 and len(skipped) == 1
+
+
 def test_window_origins_cover_with_residual():
     assert window_origins(10, 4, 4) == (0, 4, 6)
     assert window_origins(8, 8, 8) == (0,)

@@ -75,10 +75,15 @@ def main(argv=None):
     ckpt = CheckpointManager(f"{args.out_dir}/{args.model_name}",
                              backup_interval=args.backup_interval)
     if args.pretrain_weights:
-        donor, _meta = CheckpointManager(args.pretrain_weights).restore(
-            "best_vloss", state)
+        # templateless restore: the pretrain net's param tree is a strict
+        # subset of the flagship's (shared_recon=False drops rfinal_*), so
+        # a templated restore would fail tree matching; surgery only needs
+        # the raw donor tree (torch load_state_dict(strict=False) analog,
+        # reference utils.py:122-139).
+        donor, _meta = CheckpointManager(args.pretrain_weights).restore_raw(
+            "best_vloss")
         merged, loaded, skipped = surgical_restore(
-            state.params_g, donor.params_g, verbose=True)
+            state.params_g, donor["params_g"], verbose=True)
         state = state.replace(params_g=merged)
     state, epoch_start, best_vloss, best_dice = ckpt.load_or_initialize(state)
 

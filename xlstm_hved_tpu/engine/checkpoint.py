@@ -79,6 +79,20 @@ class CheckpointManager:
     def exists(self, name: str = "latest") -> bool:
         return os.path.isdir(self._path(name))
 
+    def restore_raw(self, name: str) -> Tuple[Any, Dict[str, Any]]:
+        """Restore without a template: returns the checkpoint's own pytree
+        (a dict of the saved state's fields). This is the right entry point
+        for pretrained-weight surgery, where the donor's param tree differs
+        from the target's (e.g. pretrain nets built with shared_recon=False
+        lack the flagship's rfinal_* heads) — a templated restore would
+        fail strict tree matching before `surgical_restore` ever runs."""
+        state = self._ckpt.restore(self._path(name))
+        meta: Dict[str, Any] = {}
+        if os.path.exists(self._meta_path(name)):
+            with open(self._meta_path(name)) as f:
+                meta = json.load(f)
+        return state, meta
+
     def restore(self, name: str, template) -> Tuple[Any, Dict[str, Any]]:
         state = self._ckpt.restore(self._path(name), template)
         meta: Dict[str, Any] = {}

@@ -80,6 +80,20 @@ class HVEDFusionNet(nn.Module):
         dec_f = list(cfg.dec_f_maps)
         latents = list(cfg.mvae_latents)
 
+        # The MVAE VU path upsamples by an exact x2 per level (the reference
+        # does the same: F.interpolate(size=(D*2, H*2, W*2)),
+        # RA_HVED.py:596-598), so every spatial dim must survive `levels`
+        # halvings exactly. Catch it at trace time with a real message
+        # instead of a broadcast error deep in the graph.
+        div = 2 ** levels
+        bad = [s for s in x.shape[1:4] if s % div != 0]
+        if cfg.mvae and bad:
+            raise ValueError(
+                f"spatial dims {x.shape[1:4]} must be divisible by "
+                f"2^num_levels = {div} for the MVAE x2-upsample path "
+                f"(same constraint as the reference's exact-x2 interpolate, "
+                f"RA_HVED.py:596-598); pad or crop the input")
+
         if keep is None:
             if instance_missing:
                 # infer per-instance presence from all-zero channels
