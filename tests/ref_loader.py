@@ -29,3 +29,12 @@ def load_reference():
     import RA_HVED  # noqa: E402
 
     return RA_HVED
+
+
+def load_reference_dataset():
+    """Returns the imported reference BraTSdataset module (needs the
+    torchvision stub in ref_stubs; everything else it imports is real)."""
+    load_reference()  # sys.path + cuda neutralization
+    import BraTSdataset  # noqa: E402
+
+    return BraTSdataset

@@ -127,3 +127,103 @@ def test_zscore_and_background_info():
     np.testing.assert_array_equal(lo, [3, 2, 4])
     lo_padded = background_info(img, patch_size=(8, 8, 8))
     assert np.all(lo_padded <= [2, 2, 2])
+
+
+def _brainlike(rng, shape=(4, 40, 52, 44), blob=None):
+    """Random volume with a nonzero 'brain' blob on a zero background."""
+    img = np.zeros(shape, np.float32)
+    d, h, w = shape[1:]
+    if blob is None:
+        blob = (slice(8, 30), slice(10, 40), slice(6, 38))
+    img[(slice(None),) + blob] = rng.rand(
+        4, blob[0].stop - blob[0].start, blob[1].stop - blob[1].start,
+        blob[2].stop - blob[2].start).astype(np.float32) + 0.1
+    return img
+
+
+def test_extract_brain_matches_reference():
+    """Our host extract_brain reproduces the reference's dynamic crop
+    bit-for-bit (BraTSdataset.py:85-153), including the pad-to-patch_size
+    widening with min clamped at 0 and overflow pushed onto max."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ref_loader import load_reference_dataset
+    from xlstm_hved_tpu.data.transforms import extract_brain
+
+    ref = load_reference_dataset()
+    rng = np.random.RandomState(0)
+    cases = [
+        # big brain: no padding path
+        _brainlike(rng, (4, 130, 140, 150),
+                   blob=(slice(5, 125), slice(8, 128), slice(10, 130))),
+        # small centered brain: all axes widen to 112
+        _brainlike(rng),
+        # brain hugging the origin: min-clamp + overflow path
+        _brainlike(rng, (4, 120, 120, 120),
+                   blob=(slice(0, 20), slice(0, 30), slice(2, 40))),
+        # brain hugging the far corner: max exceeds bounds, numpy clamps
+        _brainlike(rng, (4, 120, 120, 120),
+                   blob=(slice(100, 120), slice(90, 120), slice(95, 119))),
+    ]
+    for i, img in enumerate(cases):
+        mask = (rng.rand(*img.shape[1:]) > 0.5).astype(np.float32)
+        ri, rm = ref.extract_brain((img.copy(), mask.copy()))
+        oi, om = extract_brain(img, mask)
+        assert ri.shape == oi.shape, (i, ri.shape, oi.shape)
+        np.testing.assert_array_equal(ri, oi)
+        np.testing.assert_array_equal(rm, om)
+
+
+def test_zscore_ref_matches_reference_normalize():
+    from ref_loader import load_reference_dataset
+    from xlstm_hved_tpu.data.transforms import host_zscore_ref
+
+    ref = load_reference_dataset()
+    rng = np.random.RandomState(1)
+    img = _brainlike(rng, (4, 24, 28, 26), blob=(slice(4, 20), slice(6, 24),
+                                                 slice(2, 22)))
+    np.testing.assert_allclose(ref.normalize(img.copy()),
+                               host_zscore_ref(img), rtol=0, atol=1e-5)
+
+
+def test_brats_validation_set(tmp_path):
+    """GBMValidset semantics: (4,W,H,D)->(4,D,H,W) transpose, extract+pad,
+    reference z-score, and the dropout rule guaranteeing >=1 kept AND >=1
+    dropped modality on every draw (BraTSdataset.py:480-511)."""
+    import h5py
+    from xlstm_hved_tpu.data.brats import BraTSValidationSet
+
+    rng = np.random.RandomState(2)
+    vols = np.zeros((3, 4, 130, 124, 118), np.float32)   # (N, 4, W, H, D)
+    vols[:, :, 5:125, 4:120, 3:115] = rng.rand(3, 4, 120, 116, 112) + 0.1
+    p = str(tmp_path / "valid.h5")
+    with h5py.File(p, "w") as f:
+        f.create_dataset("images", data=vols)
+
+    ds = BraTSValidationSet(p, seed=0, pad_multiple=16)
+    assert len(ds) == 3
+    img, lab, keep, bg = ds.load(0)
+    assert img.ndim == 4 and img.shape[-1] == 4
+    assert all(s % 16 == 0 for s in img.shape[:3])
+    assert lab.shape == img.shape[:3] and lab.max() == 0
+    # transpose check: D axis of the item == last axis of the HDF5 layout
+    assert img.shape[0] >= 112 and img.shape[2] >= 112
+    for _ in range(64):
+        k = ds.sample_keep()
+        assert k.any() and not k.all()
+
+
+def test_make_datasets_brats_valid(tmp_path):
+    import argparse
+
+    import h5py
+    from xlstm_hved_tpu.cli.common import make_datasets
+    from xlstm_hved_tpu.data.brats import BraTSValidationSet
+
+    p = str(tmp_path / "v.h5")
+    with h5py.File(p, "w") as f:
+        f.create_dataset("images", data=np.zeros((1, 4, 8, 8, 8), np.float32))
+    args = argparse.Namespace(dataset="brats_valid", h5_path=p, seed=0,
+                              train_dir="", valid_dir="")
+    tr, va = make_datasets(args)
+    assert isinstance(va, BraTSValidationSet) and tr is va

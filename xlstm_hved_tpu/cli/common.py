@@ -55,12 +55,15 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--num_processes", type=int, default=0)
     p.add_argument("--process_id", type=int, default=-1)
     p.add_argument("--dataset", type=str, default="brats",
-                   choices=["brats", "isles"],
+                   choices=["brats", "isles", "brats_valid"],
                    help="brats: per-subject NIfTI dirs; isles: HDF5 with "
                         "Bernoulli(0.5) modality dropout (reference "
-                        "ISLESset, BraTSdataset.py:176-273)")
+                        "ISLESset, BraTSdataset.py:176-273); brats_valid: "
+                        "label-free BraTS2018 validation HDF5 (reference "
+                        "GBMValidset, BraTSdataset.py:431-593; eval/export "
+                        "only)")
     p.add_argument("--h5_path", type=str, default="",
-                   help="HDF5 file for --dataset isles")
+                   help="HDF5 file for --dataset isles / brats_valid")
     p.add_argument("--sdm", action="store_true",
                    help="add the boundary loss <seg, SDM(gt)> to the "
                         "generator objective (reference optional path, "
@@ -74,8 +77,16 @@ def make_datasets(args):
     """(trainset, validset) per --dataset. BraTS: two NIfTI directory sets.
     ISLES: one HDF5 split 80/20 by index (the reference passes explicit
     index lists; a deterministic split keeps the CLI self-contained)."""
-    from xlstm_hved_tpu.data.brats import BraTSDataset, ISLESDataset
+    from xlstm_hved_tpu.data.brats import (BraTSDataset, BraTSValidationSet,
+                                           ISLESDataset)
 
+    if args.dataset == "brats_valid":
+        assert args.h5_path, "--dataset brats_valid requires --h5_path"
+        # label-free: both slots get the validation set (only cli/test's
+        # prediction/export path makes sense here; metrics vs the zero
+        # placeholder masks are as meaningless as the reference's)
+        valid = BraTSValidationSet(args.h5_path, seed=args.seed + 1)
+        return valid, valid
     if args.dataset == "isles":
         assert args.h5_path, "--dataset isles requires --h5_path"
         import h5py

@@ -219,3 +219,69 @@ class ISLESDataset:
         bg = background_info(img)
         return (np.moveaxis(img, 0, -1).astype(np.float32), lab,
                 self.sample_keep(), bg)
+
+
+class BraTSValidationSet:
+    """Label-free BraTS2018 HDF5 validation set (reference GBMValidset /
+    GBMValidset2, /root/reference/BraTSdataset.py:431-593): 'images'
+    (N, 4, W, H, D) transposed to (4, D, H, W); optional reference
+    extract_brain crop (dynamic bbox, >=112 per axis); the reference's
+    channel-0-mask z-score; per-modality U(0,1)>0.5 dropout with BOTH guard
+    rails — at least one modality restored when all four drew >0.5
+    (:501-505) and one dropped when none did (:507-511), i.e. every item has
+    >=1 kept AND >=1 missing modality.
+
+    Masks don't exist for the validation split; a zero placeholder keeps the
+    item contract (the reference does the same, :464). When `extract`, the
+    crop is padded up to a multiple of `pad_multiple` per axis so the eval
+    jit sees a bounded set of shapes instead of one per subject.
+    """
+
+    def __init__(self, path: str, indices: Optional[Sequence[int]] = None,
+                 extract: bool = True, seed: int = 0,
+                 image_key: str = "images", pad_multiple: int = 16):
+        import h5py
+
+        self.f = h5py.File(path, "r")
+        self.images = self.f[image_key]
+        self.indices = (list(indices) if indices is not None
+                        else list(range(len(self.images))))
+        self.extract = extract
+        self.pad_multiple = pad_multiple
+        self.rng = np.random.RandomState(seed)
+        self.subjects = [str(i) for i in self.indices]
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def sample_keep(self) -> np.ndarray:
+        """U(0,1) per modality, dropped when > 0.5; >=1 kept and >=1
+        dropped (GBMValidset.__getitem__, BraTSdataset.py:480-511)."""
+        ch = self.rng.rand(4)
+        keep = ch <= 0.5
+        if not keep.any():
+            keep[self.rng.choice(4)] = True
+        if keep.all():
+            keep[self.rng.choice(4)] = False
+        return keep
+
+    def load(self, index: int):
+        from xlstm_hved_tpu.data.transforms import (background_info,
+                                                    extract_brain,
+                                                    host_zscore_ref)
+
+        i = self.indices[index]
+        img = np.asarray(self.images[i], np.float32)       # (4, W, H, D)
+        img = np.transpose(img, (0, 3, 2, 1))              # (4, D, H, W)
+        bg = background_info(img)
+        lab = np.zeros(img.shape[1:], np.int32)
+        if self.extract:
+            img, lab = extract_brain(img, lab)
+            if self.pad_multiple > 1:
+                m = self.pad_multiple
+                pads = [(0, (-img.shape[1 + a]) % m) for a in range(3)]
+                img = np.pad(img, [(0, 0)] + pads)
+                lab = np.pad(lab, pads)
+        img = host_zscore_ref(img)
+        return (np.moveaxis(img, 0, -1).astype(np.float32),
+                lab, self.sample_keep(), bg)

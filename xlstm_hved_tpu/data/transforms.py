@@ -135,6 +135,51 @@ def host_zscore_nonzero(img: np.ndarray) -> np.ndarray:
     return out
 
 
+def host_zscore_ref(img: np.ndarray) -> np.ndarray:
+    """The reference's exact `normalize` (BraTSdataset.py:156-173): one
+    voxel mask taken from CHANNEL 0 (not per-channel), per-channel mean/std
+    over that mask, applied to ALL voxels including background. Differs from
+    host_zscore_nonzero (per-channel masks, background zeroed); the HDF5
+    validation sets use this variant for bit-parity with the reference."""
+    chlast = np.moveaxis(img, 0, -1).astype(np.float32)   # (D,H,W,C)
+    sel = chlast[chlast[..., 0] != 0]                     # (N, C)
+    mu = sel.mean(axis=0)
+    sd = sel.std(axis=0) + 1e-6
+    return np.moveaxis((chlast - mu) / sd, -1, 0)
+
+
+def extract_brain(img: np.ndarray, mask: np.ndarray, patch_size: int = 112
+                  ) -> tuple:
+    """Dynamic brain-bounding-box crop with the reference's exact semantics
+    (BraTSdataset.py:85-153): background is the CORNER VOXEL of channel 0;
+    the bbox of `img[0] != background` is taken per axis (max exclusive);
+    any axis whose extent is below `patch_size` is widened patch_size-wards
+    — pad//2 on the min side, remainder on the max side, with min clamped
+    at 0 and the overflow pushed onto max (numpy slicing then clamps max at
+    the array bound, as in the reference).
+
+    The training pipeline replaces this with a static pad policy (TPU wants
+    static shapes); this host version exists for the HDF5 validation-set
+    path and for crop-semantics parity tests against the reference.
+    img: (C, D, H, W); mask: (D, H, W)."""
+    background = img[0, 0, 0, 0]
+    brain = np.where(img[0] != background)
+    lo = [int(np.min(b)) for b in brain]
+    hi = [int(np.max(b)) + 1 for b in brain]
+    for a in range(3):
+        if hi[a] - lo[a] < patch_size:
+            pad = patch_size - (hi[a] - lo[a])
+            min_pad = pad // 2
+            max_pad = pad - min_pad
+            lo[a] -= min_pad
+            if lo[a] < 0:
+                max_pad -= lo[a]
+                lo[a] = 0
+            hi[a] += max_pad
+    sl = tuple(slice(l, h) for l, h in zip(lo, hi))
+    return img[(slice(None),) + sl], mask[sl]
+
+
 def host_random_rotate(rng: np.random.RandomState, img: np.ndarray,
                        labels: np.ndarray, angle_spectrum: int = 30,
                        axes=((2, 1),)):
