@@ -95,7 +95,10 @@ def weighted_cross_entropy_loss(logits: jnp.ndarray,
                                 target: jnp.ndarray) -> jnp.ndarray:
     """WCE with inverse-frequency class weights (reference
     WeightedCrossEntropyLoss, loss.py:303-324). `target` is one-hot over the
-    channel axis; weights are treated as constants (stop-gradient)."""
+    channel axis; weights are treated as constants (stop-gradient). Matches
+    torch.nn.functional.cross_entropy(weight=w) exactly, including its
+    weighted-MEAN normalization: sum(w_y*nll)/sum(w_y), not mean(w_y*nll)
+    (parity-tested against the reference in test_loss_parity.py)."""
     import jax
 
     flat = _flatten_per_channel(logits.astype(jnp.float32))
@@ -106,7 +109,7 @@ def weighted_cross_entropy_loss(logits: jnp.ndarray,
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     w = weights[labels]
-    return jnp.mean(w * nll)
+    return jnp.sum(w * nll) / jnp.sum(w)
 
 
 def l2_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
