@@ -107,12 +107,23 @@ def ssim3d(pred: jnp.ndarray, target: jnp.ndarray, window: int = 7,
 
 # ---------------- host-side HD95 (outside jit) ----------------
 
+# The reference's three edge kernels verbatim (metrics.py:277-289): X is a
+# true 3D Sobel, but Y smooths z with [1,1,1] and Z is the all-ones Prewitt
+# style — NOT transposes of X. The exact kernels matter: they decide which
+# voxels count as surface, hence the HD95 value (parity-tested in
+# test_metrics_parity.py).
 _SOBEL_X = np.array(
     [[[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]],
      [[-2, 0, 2], [-4, 0, 4], [-2, 0, 2]],
      [[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]]], dtype=np.float32)
-_SOBEL_Y = np.transpose(_SOBEL_X, (0, 2, 1))
-_SOBEL_Z = np.transpose(_SOBEL_X, (2, 1, 0))
+_SOBEL_Y = np.array(
+    [[[-1, -2, -1], [0, 0, 0], [1, 2, 1]],
+     [[-1, -2, -1], [0, 0, 0], [1, 2, 1]],
+     [[-1, -2, -1], [0, 0, 0], [1, 2, 1]]], dtype=np.float32)
+_SOBEL_Z = np.array(
+    [[[-1, -1, -1], [-1, -1, -1], [-1, -1, -1]],
+     [[0, 0, 0], [0, 0, 0], [0, 0, 0]],
+     [[1, 1, 1], [1, 1, 1], [1, 1, 1]]], dtype=np.float32)
 
 
 def _surface_points(mask: np.ndarray, spacing=(1.0, 1.0, 1.0)) -> np.ndarray:
