@@ -6,3 +6,18 @@ class Normalize:  # import-time placeholder only
 class CenterCrop:
     def __init__(self, *a, **k):
         pass
+
+
+class Compose:
+    def __init__(self, transforms):
+        self.transforms = transforms
+
+    def __call__(self, x):
+        for t in self.transforms:
+            x = t(x)
+        return x
+
+
+class ToTensor:
+    def __call__(self, x):
+        return x

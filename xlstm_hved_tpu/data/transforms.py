@@ -135,6 +135,57 @@ def host_zscore_nonzero(img: np.ndarray) -> np.ndarray:
     return out
 
 
+def host_add_gaussian_noise(rng: np.random.RandomState, img: np.ndarray,
+                            mean: float = 0.0, std: float = 0.01
+                            ) -> np.ndarray:
+    """Additive Gaussian noise (reference AddGaussianNoise,
+    transform.py:40-46)."""
+    return img + rng.randn(*img.shape) * std + mean
+
+
+def host_random_rotate90(rng: np.random.RandomState, img: np.ndarray,
+                         mask: np.ndarray):
+    """k*90-degree rotation around the z axis, axes (1,2) of DHW
+    (reference RandomRotate90, transform.py:156-180). img: (C, D, H, W)."""
+    k = rng.randint(0, 4)
+    mask = np.rot90(mask, k, (1, 2))
+    img = np.stack([np.rot90(img[c], k, (1, 2))
+                    for c in range(img.shape[0])], axis=0)
+    return img, mask
+
+
+def host_random_scale(rng: np.random.RandomState, img: np.ndarray,
+                      mask: np.ndarray, scale: float = 0.1):
+    """Random zoom back to the original size (reference Scale,
+    transform.py:48-96): factor ~ U(1-scale, 1+scale); mask zoomed order=0,
+    each image channel order=2 with the channel's corner voxel as cval;
+    center-pad (scale<1, image pads with the corner value) or center-crop
+    (scale>1). img: (C, D, H, W); mask: (D, H, W)."""
+    from scipy.ndimage import zoom
+
+    size = img[0].shape
+    factor = rng.uniform(low=1.0 - scale, high=1.0 + scale)
+
+    def fit(vol, cval):
+        if factor < 1.0:
+            pads = []
+            for a in range(3):
+                d = (size[a] - vol.shape[a]) / 2.0
+                pads.append((int(np.floor(d)), int(np.ceil(d))))
+            return np.pad(vol, pads, mode="constant", constant_values=cval)
+        lo = [(vol.shape[a] - size[a]) // 2 for a in range(3)]
+        return vol[lo[0]:lo[0] + size[0], lo[1]:lo[1] + size[1],
+                   lo[2]:lo[2] + size[2]]
+
+    out_mask = fit(zoom(mask, factor, order=0, mode="constant", cval=0), 0)
+    out_img = np.zeros_like(img)
+    for c in range(img.shape[0]):
+        cval = img[c, 0, 0, 0]
+        out_img[c] = fit(zoom(img[c], factor, order=2, mode="constant",
+                              cval=cval), cval)
+    return out_img, out_mask
+
+
 def host_zscore_ref(img: np.ndarray) -> np.ndarray:
     """The reference's exact `normalize` (BraTSdataset.py:156-173): one
     voxel mask taken from CHANNEL 0 (not per-channel), per-channel mean/std
