@@ -227,3 +227,39 @@ def test_make_datasets_brats_valid(tmp_path):
                               train_dir="", valid_dir="")
     tr, va = make_datasets(args)
     assert isinstance(va, BraTSValidationSet) and tr is va
+
+
+def test_host_augment_matches_device_semantics():
+    """host_augment mirrors device_augment's pipeline: same shapes, /255
+    range, nested mask channels, and determinism under a fixed rng. The
+    host version exists so train steps ship only the crop over the
+    host->device link (cli/common.py::assemble_train_batch)."""
+    from xlstm_hved_tpu.data.transforms import host_augment
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(20, 24, 22, 4) * 255).astype(np.float32)
+    lab = rng.randint(0, 4, (20, 24, 22)).astype(np.int32)
+    x1, m1 = host_augment(np.random.RandomState(5), img, lab, (16, 16, 16))
+    x2, m2 = host_augment(np.random.RandomState(5), img, lab, (16, 16, 16))
+    np.testing.assert_array_equal(x1, x2)
+    np.testing.assert_array_equal(m1, m2)
+    assert x1.shape == (16, 16, 16, 4) and x1.dtype == np.float32
+    assert m1.shape == (16, 16, 16, 3) and m1.dtype == np.uint8
+    assert x1.max() <= 1.3 and x1.min() >= -0.3  # /255 + small shift
+    # nesting: ET (ch2) subset of TC (ch1) subset of WT (ch0)
+    assert np.all(m1[..., 2] <= m1[..., 1])
+    assert np.all(m1[..., 1] <= m1[..., 0])
+
+
+def test_host_eval_transform_equals_device():
+    from xlstm_hved_tpu.data.transforms import (device_eval_transform,
+                                                host_eval_transform)
+
+    rng = np.random.RandomState(1)
+    img = (rng.rand(20, 24, 22, 4) * 255).astype(np.float32)
+    lab = rng.randint(0, 4, (20, 24, 22)).astype(np.int32)
+    hx, hm = host_eval_transform(img, lab, crop=(16, 16, 16))
+    dx, dm = device_eval_transform(jnp.asarray(img), jnp.asarray(lab),
+                                   crop=(16, 16, 16))
+    np.testing.assert_allclose(hx, np.asarray(dx), atol=1e-6)
+    np.testing.assert_array_equal(hm.astype(np.float32), np.asarray(dm))
