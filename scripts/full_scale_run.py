@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--model_name", default="XLSTM_HVED")
     ap.add_argument("--pretrain_epochs", type=int, default=10)
     ap.add_argument("--train_epochs", type=int, default=40)
+    ap.add_argument("--n_train", type=int, default=32)
+    ap.add_argument("--n_valid", type=int, default=8)
     args = ap.parse_args()
 
     if args.quick:
@@ -59,7 +61,7 @@ def main():
         disc_kernel = 3
     else:
         shape, crop = (160, 224, 160), (128, 192, 128)
-        n_train, n_valid = 32, 8
+        n_train, n_valid = args.n_train, args.n_valid
         pre_epochs, tr_epochs = args.pretrain_epochs, args.train_epochs
         disc_kernel = 4
 
