@@ -65,6 +65,21 @@ def _recondition_weights(tmodel):
     tmodel.load_state_dict(new)
 
 
+def _fix_ext_resnet_rsm_decoders(ra, tmodel):
+    """The reference's ExtResNet+RSM seg decoder is broken as shipped: Decoder
+    sets basic-module in_channels = out_channels (buildingblocks.py:692-698)
+    but AttenModule2 returns concat(scaled_seg, scaled_enc) = 2*out channels
+    (buildingblocks.py:296-301), so U_HVEDNet3D's forward raises RuntimeError
+    (verified; same defect class as SURVEY.md §4). Patch each seg decoder's
+    basic module to the intended in_channels = 2*out so a forward-to-forward
+    comparison is possible; the JAX implementation uses these intended
+    semantics natively (nn/blocks.py::DecoderStage)."""
+    for dec in tmodel.decoders:
+        out_ch = dec.basic_module.conv2.conv.out_channels
+        dec.basic_module = ra.ExtResNetBlock(
+            2 * out_ch, out_ch, kernel_size=3, order="ilc", num_groups=8)
+
+
 def _build_pair(name: str, ref_cls_name: str):
     """Construct (torch_model.eval(), jax_model, variables) with transplanted
     weights for the reference train.py:142-143 flag set."""
@@ -74,6 +89,8 @@ def _build_pair(name: str, ref_cls_name: str):
     tmodel = ref_cls(1, 3, multi_stream=4, fusion_level=4, shared_recon=True,
                      recon_skip=True, MVAE_reduction=True, final_sigmoid=True,
                      f_maps=4, layer_order="ilc")
+    if ref_cls_name == "U_HVEDNet3D":
+        _fix_ext_resnet_rsm_decoders(ra, tmodel)
     _recondition_weights(tmodel)
     tmodel.eval()
 
@@ -125,6 +142,12 @@ def _to_channels_last(a):
     ("U_HVEDConvDuSFENet3D", "U_HVEDConvDuSFENet3D"),
     # + ViL decoder block (mLSTM chunkwise scan vs reference quadratic)
     ("U_HVEDConvXLSTMNet3D", "U_HVEDConvXLSTMNet3D"),
+    # FLAGSHIP: DuSFE + skip-return gates/encoders + mid-ViL — the exact
+    # config every benchmark and the multichip dryrun use (RA_HVED.py:945-958)
+    ("XLSTM_HVED", "XLSTM_HVED"),
+    # ExtResNetBlock family (residual U-HVED; reference seg decoder patched
+    # to intended shapes, see _fix_ext_resnet_rsm_decoders)
+    ("U_HVEDNet3D", "U_HVEDNet3D"),
 ])
 def test_forward_parity_conv_family(name, ref_cls):
     tmodel, jmodel, variables = _build_pair(name, ref_cls)

@@ -67,23 +67,45 @@ def _stacked_conv(sd, key_fn, streams: int) -> Dict[str, np.ndarray]:
     return {"kernel": np.stack(ws), "bias": np.stack(bs)}
 
 
-def _double_conv_folded(sd, prefix: str, key_fmt, streams: int) -> Dict:
-    """Per-stream torch DoubleConv -> BlockDiagDoubleConv params."""
+def _sub_names(module: str) -> Tuple[str, str]:
+    """torch child names of the two convs in a basic module: DoubleConv has
+    SingleConv1/SingleConv2 (buildingblocks.py:464-507), ExtResNetBlock has
+    conv1/conv2 (:558-604). Both flax counterparts use conv1/conv2."""
+    if module == "ext_resnet":
+        return "conv1", "conv2"
+    return "SingleConv1", "SingleConv2"
+
+
+def _basic_folded(sd, key_fmt, streams: int,
+                  module: str = "double_conv") -> Dict:
+    """Per-stream torch basic module -> BlockDiag{DoubleConv,ExtResNetBlock}
+    params (same flax structure either way)."""
+    s1, s2 = _sub_names(module)
     return {
         "conv1": {"conv": _stacked_conv(
-            sd, lambda m: f"{key_fmt(m, 'SingleConv1')}.conv", streams)},
+            sd, lambda m: f"{key_fmt(m, s1)}.conv", streams)},
         "conv2": {"conv": _stacked_conv(
-            sd, lambda m: f"{key_fmt(m, 'SingleConv2')}.conv", streams)},
+            sd, lambda m: f"{key_fmt(m, s2)}.conv", streams)},
+    }
+
+
+def _double_conv_folded(sd, prefix: str, key_fmt, streams: int) -> Dict:
+    """Per-stream torch DoubleConv -> BlockDiagDoubleConv params."""
+    return _basic_folded(sd, key_fmt, streams)
+
+
+def _basic_plain(sd, key: str, module: str = "double_conv") -> Dict:
+    """torch basic module -> my DoubleConv/ExtResNetBlock (SingleConv
+    children conv1/conv2, each one auto-named Conv3DFast_0)."""
+    s1, s2 = _sub_names(module)
+    return {
+        "conv1": {"Conv3DFast_0": _conv(sd, f"{key}.{s1}.conv")},
+        "conv2": {"Conv3DFast_0": _conv(sd, f"{key}.{s2}.conv")},
     }
 
 
 def _double_conv_plain(sd, key: str) -> Dict:
-    """torch DoubleConv -> my DoubleConv (SingleConv children conv1/conv2,
-    each one auto-named Conv3DFast_0)."""
-    return {
-        "conv1": {"Conv3DFast_0": _conv(sd, f"{key}.SingleConv1.conv")},
-        "conv2": {"Conv3DFast_0": _conv(sd, f"{key}.SingleConv2.conv")},
-    }
+    return _basic_plain(sd, key)
 
 
 def _atten2(sd, key: str) -> Dict:
@@ -172,6 +194,39 @@ def _vil3d(sd, key: str) -> Dict:
     }}
 
 
+def _dwconvnorm(sd, key: str) -> Tuple[Dict, Dict]:
+    """torch DWConvNorm (sa_module.py:56-97: depthwise conv + pointwise conv
+    + BatchNorm) -> (params, batch_stats) for my DWConvNorm."""
+    dw = np.asarray(sd[f"{key}.dwconv.weight"])
+    params = {
+        "dwconv": {"kernel": _grouped(dw, dw.shape[0])},
+        "pwconv": {"kernel": _t(sd[f"{key}.pwconv.weight"]),
+                   "bias": np.asarray(sd[f"{key}.pwconv.bias"])},
+        "BatchNorm_0": {"scale": np.asarray(sd[f"{key}.norm.weight"]),
+                        "bias": np.asarray(sd[f"{key}.norm.bias"])},
+    }
+    stats = {"BatchNorm_0": {
+        "mean": np.asarray(sd[f"{key}.norm.running_mean"]),
+        "var": np.asarray(sd[f"{key}.norm.running_var"])}}
+    return params, stats
+
+
+def _skr_gate(sd, key: str) -> Tuple[Dict, Dict]:
+    """torch Sequential(ResBlock(lkdw=True), SpacialAttention3D(k=1)) — one
+    skip-return gate (RA_HVED.py:371-373,382-384) -> my SkrGate (res + sa).
+
+    The reference ResBlock always constructs `identity_mapping`
+    (sa_module.py:121) but only applies it when channels or stride change
+    (`need_map`, :124); skr gates keep channels so those params are dead
+    weight and are deliberately not read."""
+    c1p, c1s = _dwconvnorm(sd, f"{key}.0.conv1")
+    c2p, c2s = _dwconvnorm(sd, f"{key}.0.conv2")
+    params = {"res": {"conv1": c1p, "conv2": c2p},
+              "sa": {"conv": {"kernel": _t(sd[f"{key}.1.conv.weight"])}}}
+    stats = {"res": {"conv1": c1s, "conv2": c2s}}
+    return params, stats
+
+
 def _double_conv_vil(sd, key: str) -> Dict:
     """torch DoubleConv_ViL (buildingblocks.py:509-555) -> my DoubleConvViL
     (double_conv + vil submodules)."""
@@ -192,15 +247,17 @@ def hved_params_from_torch(sd: Dict[str, np.ndarray], cfg: HVEDConfig
     """
     sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else
               np.asarray(v)) for k, v in sd.items()}
-    if cfg.basic_module != "double_conv":
+    if cfg.basic_module not in ("double_conv", "ext_resnet"):
         raise NotImplementedError(
-            "torch import supports the DoubleConv-based MVAE family; got "
-            f"basic_module={cfg.basic_module!r}")
+            f"torch import: unsupported basic_module={cfg.basic_module!r}")
     if not cfg.mvae or not cfg.mvae_reduction:
         raise NotImplementedError(
-            "torch import currently requires the MVAE+reduction zoo config")
+            "torch import currently requires the MVAE+reduction zoo config "
+            "(the fusion family is mapped by fusion_params_from_torch)")
     if cfg.fusion_level < cfg.num_levels:
         raise NotImplementedError("single-stream deep levels not mapped yet")
+    bm = cfg.basic_module
+    ext = bm == "ext_resnet"
 
     M = cfg.multi_stream
     L = cfg.num_levels
@@ -213,10 +270,10 @@ def hved_params_from_torch(sd: Dict[str, np.ndarray], cfg: HVEDConfig
     for i in range(L):
         blocks = {}
         for b in range(cfg.num_block[i]):
-            blocks[f"block{b}"] = _double_conv_folded(
-                sd, f"encoders_{i}",
+            blocks[f"block{b}"] = _basic_folded(
+                sd,
                 lambda m, sc, i=i, b=b: f"encoders.{i}.{m}.basic_module.{b}.{sc}",
-                M)
+                M, bm)
         p[f"encoders_{i}"] = blocks
         p[f"drb_{i}"] = {"conv": _stacked_conv(
             sd, lambda m, i=i: f"DRBs.{i}.{m}.0.conv", M)}
@@ -231,10 +288,15 @@ def hved_params_from_torch(sd: Dict[str, np.ndarray], cfg: HVEDConfig
         if cfg.vil_decoder and j < 1:
             basic = _double_conv_vil(sd, f"decoders.{j}.basic_module")
         else:
-            basic = _double_conv_plain(sd, f"decoders.{j}.basic_module")
+            basic = _basic_plain(sd, f"decoders.{j}.basic_module", bm)
         p[f"sdecoder_{j}"] = {
             "atten": _atten2(sd, f"decoders.{j}.atten_module"),
             "basic": basic}
+        if ext:
+            # ResNet decoder upsampling carries a 1x1 pre-conv
+            # (buildingblocks.py:692-698,759-763)
+            p[f"sdecoder_{j}"]["pre_conv"] = _conv(
+                sd, f"decoders.{j}.upsampling.conv1")
 
     p["final_conv"] = _conv(sd, "final_conv")
 
@@ -254,15 +316,35 @@ def hved_params_from_torch(sd: Dict[str, np.ndarray], cfg: HVEDConfig
     elif cfg.recon_decoder:
         for m in range(rec_streams):
             for j in range(n_dec):
-                p[f"rdecoder_{m}_{j}"] = {"basic": _double_conv_plain(
-                    sd, f"rdecoder.multi_decoders.{m}.{j}.basic_module")}
+                rk = f"rdecoder.multi_decoders.{m}.{j}"
+                p[f"rdecoder_{m}_{j}"] = {"basic": _basic_plain(
+                    sd, f"{rk}.basic_module", bm)}
+                if ext:
+                    p[f"rdecoder_{m}_{j}"]["pre_conv"] = _conv(
+                        sd, f"{rk}.upsampling.conv1")
             p[f"rfinal_{m}"] = _conv(sd, f"rdecoder.finals.{m}")
 
     if cfg.mid_vil:
         p["mvil"] = _vil3d(sd, "mViL")
     if cfg.skip_return:
-        raise NotImplementedError(
-            "skip-return (skr gate/encoder) import not mapped yet")
+        # The reference builds skr_att/skr_encoders by insert(0, ...) while
+        # iterating levels 1..L-1 (RA_HVED.py:369-384), so ModuleList index 0
+        # is the DEEPEST module; forward indexes them as skr_att[-level] /
+        # skr_encoders[-level] (:552,619). My modules are named by the level
+        # at which they run: skr_att_{l} <-> skr_att.{L-l},
+        # skr_encoder_{l} <-> skr_encoders.{L-1-l}. skr_att.0 (a gate at the
+        # bottleneck width) is never reached by the reference forward (dead
+        # params) and is not read.
+        p["x0_init"] = _conv(sd, "x0_init.0")
+        for level in range(1, L):
+            gp, gs = _skr_gate(sd, f"skr_att.{L - level}")
+            p[f"skr_att_{level}"] = gp
+            stats[f"skr_att_{level}"] = gs
+            blocks = {}
+            for b in range(cfg.num_block[level]):
+                blocks[f"block{b}"] = _double_conv_plain(
+                    sd, f"skr_encoders.{L - 1 - level}.basic_module.{b}")
+            p[f"skr_encoder_{level}"] = blocks
     return p, stats
 
 
