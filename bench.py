@@ -1,6 +1,10 @@
-"""Benchmark: flagship XLSTM_HVED seg+recon inference throughput at 128^3.
+"""Benchmark: flagship XLSTM_HVED seg+recon inference throughput at 128^3,
+plus the full reference-protocol throughput (240x240x155 volume, 128x192x128
+sliding window, 15-subset sweep — /root/reference/test.py:29,98).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the protocol metric as a first JSON line, then the primary
+{"metric", "value", "unit", "vs_baseline"} line LAST (the driver parses the
+last line; both appear in the recorded tail).
 
 Methodology: the tunneled-TPU relay both caches repeat executions with
 identical inputs AND adds ~100 ms dispatch latency per host round-trip, so
@@ -31,6 +35,69 @@ import numpy as np
 A100_REFERENCE_VOLS_PER_SEC = 50.0   # derived: docs/BASELINE_DERIVATION.md
 TARGET_MULTIPLIER = 5.0
 CHIPS_IN_TARGET_POD = 8.0            # "on a v5e-8" — target is per-pod
+# The A100 denominator comes from a module-hook + roofline derivation with a
+# stated +-2x uncertainty (docs/BASELINE_DERIVATION.md §5): the true multiple
+# vs a real A100 run lies in [vs_baseline/2, vs_baseline*2].
+BASELINE_UNCERTAINTY = "derived A100 denominator, +-2x"
+
+# Full reference protocol (test.py:29,98): 240x240x155 BraTS volume,
+# 128x192x128 patch, stride = patch (sliding window covers residual
+# origins), all 15 modality subsets. Windows per subset: 2x2x2 = 8.
+PROTOCOL_VOL = (240, 240, 155)
+PROTOCOL_PATCH = (128, 192, 128)
+
+
+def _protocol_windows():
+    from xlstm_hved_tpu.engine.evaluate import origin_grid
+    return len(origin_grid(PROTOCOL_VOL, PROTOCOL_PATCH, PROTOCOL_PATCH))
+
+
+def bench_protocol(model, variables):
+    """Full-protocol volumes/sec/chip: one volume = 15-subset sweep with
+    sliding-window seg+recon inference. vs_baseline scales the derived A100
+    128^3 rate by window count x voxel ratio (the same graph evaluated
+    8 x 1.5x-voxel times per subset, 15 subsets)."""
+    from xlstm_hved_tpu.engine.evaluate import (default_apply_fn,
+                                                make_subset_sweep)
+
+    sweep = make_subset_sweep(default_apply_fn(model, recon=True),
+                              patch=PROTOCOL_PATCH, recon_channels=4)
+    x0 = jnp.asarray(
+        np.random.RandomState(1).rand(1, *PROTOCOL_VOL, 4), jnp.float32)
+
+    def loop_time(n):
+        @jax.jit
+        def run(x):
+            def body(i, acc):
+                segs, recs = sweep(variables, x + acc * 1e-6 + i * 1e-4)
+                return acc + jnp.mean(segs) + jnp.mean(recs)
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+        float(run(x0))  # compile + sync (axon relay: host scalar = only sync)
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(run(x0))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_small, t_large = loop_time(1), loop_time(3)
+    per_volume = (t_large - t_small) / 2.0
+    vols_per_sec = 1.0 / per_volume
+
+    voxel_ratio = float(np.prod(PROTOCOL_PATCH)) / 128 ** 3
+    windows = _protocol_windows()
+    a100_protocol = (A100_REFERENCE_VOLS_PER_SEC
+                     / (15 * windows * voxel_ratio))
+    target = TARGET_MULTIPLIER * a100_protocol / CHIPS_IN_TARGET_POD
+    print(json.dumps({
+        "metric": "xlstm_hved_full_protocol_15subset_sweep",
+        "value": round(vols_per_sec, 4),
+        "unit": "volumes/sec/chip (240x240x155, 128x192x128 window, "
+                "15 subsets, seg+recon)",
+        "vs_baseline": round(vols_per_sec / target, 3),
+        "baseline_uncertainty": BASELINE_UNCERTAINTY,
+    }), flush=True)
 
 
 def main():
@@ -43,6 +110,8 @@ def main():
     variables = jax.jit(lambda k, x: model.init(k, x, deterministic=True))(
         {"params": jax.random.PRNGKey(0), "latent": jax.random.PRNGKey(1)}, x0)
     keep = jnp.asarray(SUBSET_MASKS[14])
+
+    bench_protocol(model, variables)
 
     def one(xi):
         out = model.apply(variables, xi, keep=keep, recon=True,
@@ -77,6 +146,7 @@ def main():
         "value": round(vols_per_sec, 3),
         "unit": "volumes/sec/chip",
         "vs_baseline": round(vols_per_sec / target, 3),
+        "baseline_uncertainty": BASELINE_UNCERTAINTY,
     }))
 
 
