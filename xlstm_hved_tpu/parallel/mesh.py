@@ -24,8 +24,15 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     the reference has no multi-process support at all; this is the TPU-native
     DDP equivalent, DCN across slices, ICI within). On TPU pods the args are
     auto-detected from the environment; pass them explicitly elsewhere.
-    Idempotent: safe to call when already initialized or single-process."""
-    if jax.process_count() > 1:
+    Idempotent: safe to call when already initialized or single-process.
+
+    NOTE: must not touch jax.process_count()/jax.devices() before
+    initializing — any backend-initializing call turns
+    jax.distributed.initialize into a silent no-op (caught by
+    tests/test_multiprocess.py); the already-initialized check reads the
+    distributed client state directly instead."""
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
     kwargs = {}
     if coordinator_address:
