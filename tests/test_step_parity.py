@@ -1,0 +1,244 @@
+"""Cross-implementation SINGLE-TRAIN-STEP parity (round-2 VERDICT Missing #3):
+transplant reference weights, fix the latent noise to the same values on both
+sides, drive ONE generator step and ONE discriminator step of the reference
+loop by hand (/root/reference/train.py:218-285, fp32, no AMP), and compare
+
+  - the G loss value,
+  - the full G gradient tree (reference grads converted through the SAME
+    layout mapping as the weights),
+  - the D loss value and D gradient tree
+
+against engine/train.py's jitted objective. This is the test that catches a
+mis-placed stop_gradient in the GAN plumbing (engine/train.py:139-147): a
+detach error changes gradients, not outputs.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from ref_loader import load_reference  # noqa: E402
+from test_torch_parity import SHAPE, _build_pair  # noqa: E402
+from xlstm_hved_tpu.config import TrainConfig  # noqa: E402
+from xlstm_hved_tpu.engine.train import (  # noqa: E402
+    TrainState,
+    _build_loss_g,
+    make_optimizer,
+    nested_region_weight,
+)
+from xlstm_hved_tpu.losses import gan_loss_lsgan  # noqa: E402
+from xlstm_hved_tpu.models import Discriminator  # noqa: E402
+from xlstm_hved_tpu.utils.subsets import SUBSET_MASKS  # noqa: E402
+from xlstm_hved_tpu.utils.torch_import import disc_params_from_torch  # noqa: E402
+
+ALPHA, BETA = 0.1, 0.2  # train.py:43-44
+SUBSET_IDX = 4          # subset (0, 1): real missing-modality G pass
+
+
+def _eps_for_shape(shape_torch):
+    """Deterministic, shape-keyed standard-normal noise in torch layout
+    (B, L, d, h, w). The per-level latent shapes are distinct so each level
+    gets distinct noise."""
+    seed = int(np.prod(shape_torch)) % (2 ** 31 - 1)
+    return np.random.RandomState(seed).standard_normal(
+        shape_torch).astype(np.float32)
+
+
+def _patch_noise(ra, monkeypatch):
+    """Make both implementations draw the SAME reparameterization noise."""
+
+    def torch_reparam(mu, logvar, valid=False):
+        if valid:
+            return mu
+        eps = torch.from_numpy(_eps_for_shape(tuple(mu.shape)))
+        return mu + torch.exp(0.5 * logvar) * eps
+
+    import xlstm_hved_tpu.models.hved as hved_mod
+
+    def jax_reparam(key, mu, logvar, deterministic=False):
+        if deterministic:
+            return mu
+        # mu is channels-last (B, d, h, w, L); the noise table is keyed on
+        # the torch layout (B, L, d, h, w)
+        tshape = (mu.shape[0], mu.shape[4], mu.shape[1], mu.shape[2],
+                  mu.shape[3])
+        eps = jnp.moveaxis(jnp.asarray(_eps_for_shape(tshape)), 1, -1)
+        return mu + jnp.exp(0.5 * logvar) * eps
+
+    monkeypatch.setattr(ra, "reparametrize", torch_reparam)
+    monkeypatch.setattr(hved_mod, "reparametrize", jax_reparam)
+
+
+def _nested_weight_torch(seg):
+    """train.py:247-259 without the in-place masked writes."""
+    w = torch.where(seg > 0.5, seg, torch.zeros_like(seg))
+    nested = w[:, 0].clone()
+    m1 = w[:, 1] > 0.5
+    nested[m1] = w[:, 1][m1]
+    m2 = w[:, 2] > 0.5
+    nested[m2] = w[:, 2][m2]
+    return nested
+
+
+def _scaled_err(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(np.max(np.abs(a - b) / (1.0 + np.abs(b))))
+
+
+def _tree_scaled_err(tree_a, tree_b):
+    errs = jax.tree.map(_scaled_err, tree_a, tree_b)
+    leaves = jax.tree.leaves(errs)
+    return max(leaves), float(np.mean(leaves))
+
+
+def _grads_as_state_dict(tmodel):
+    """Reference grads in state_dict form (zeros for grad-free params and
+    buffers) so the weight-layout mapping converts them identically."""
+    out = {}
+    for k, p in tmodel.named_parameters():
+        out[k] = (p.grad.detach().numpy() if p.grad is not None
+                  else np.zeros(p.shape, np.float32))
+    for k, b in tmodel.named_buffers():
+        out[k] = np.zeros(b.shape, np.float32)
+    return out
+
+
+def test_single_train_step_cross_parity(monkeypatch):
+    ra = load_reference()
+    _patch_noise(ra, monkeypatch)
+
+    tmodel, jmodel, variables = _build_pair("XLSTM_HVED", "XLSTM_HVED")
+    tmodel.train()
+
+    # discriminator: reference construction (train.py:146) + transplant
+    torch.manual_seed(7)
+    tdisc = ra.Discriminator(in_channels=7, ks=4, strides=[1, 2, 2, 2])
+    tdisc.train()
+    jdisc = Discriminator(f_maps=64, kernel=4)
+    params_d = jax.tree.map(
+        jnp.asarray, disc_params_from_torch(tdisc.state_dict()))
+
+    rng = np.random.RandomState(11)
+    x_t = rng.rand(*SHAPE).astype(np.float32)
+    # nested WT ⊇ TC ⊇ ET mask channels (SegToMask semantics)
+    base = rng.rand(SHAPE[0], *SHAPE[2:])
+    mask_np = np.stack([base > 0.3, base > 0.6, base > 0.8],
+                       axis=1).astype(np.float32)
+
+    keep = np.array(SUBSET_MASKS[SUBSET_IDX], bool)
+
+    # ---- reference G step, hand-driven (train.py:218-268, fp32, no AMP)
+    import importlib
+    loss_mod = importlib.import_module("loss")
+    dice_loss_t = loss_mod.DiceLoss()
+    gan_loss_t = loss_mod.GANLoss()
+    l2_loss_t = torch.nn.MSELoss()
+
+    xb = torch.from_numpy(x_t)
+    mb = torch.from_numpy(mask_np)
+    f_out, _, f_rec = tmodel(xb, [14], recon=True)
+    m_out, (mu, logvar), m_rec = tmodel(xb, [SUBSET_IDX], recon=True)
+    f_rec = torch.cat(f_rec, dim=1)
+    m_rec = torch.cat(m_rec, dim=1)
+
+    dice = dice_loss_t(f_out, mb)
+    m_dice = dice_loss_t(m_out, mb)
+    recon = l2_loss_t(m_rec, xb)
+    kld = sum(loss_mod.compute_KLD(mu[i], logvar[i], [SUBSET_IDX])
+              for i in range(len(mu))) / len(mu)
+
+    syn_m = m_rec
+    f_nested = _nested_weight_torch(f_out.detach())
+    m_nested = _nested_weight_torch(m_out.detach())
+    atten_f = f_rec.detach() * (1 + f_nested.unsqueeze(1))
+    atten_m = syn_m * (1 + m_nested.unsqueeze(1))
+    pred_fake = tdisc(torch.cat([m_out, atten_m], 1))
+    g_gan = gan_loss_t(pred_fake, True)
+    loss_t = dice + m_dice + BETA * recon + BETA * kld + ALPHA * g_gan
+    tmodel.zero_grad()
+    loss_t.backward()
+
+    # ---- reference D step (train.py:272-285)
+    pred_fake_d = tdisc(torch.cat([m_out.detach(), atten_m.detach()], 1))
+    pred_real_d = tdisc(torch.cat([f_out.detach(), atten_f.detach()], 1))
+    loss_d_t = ALPHA * (gan_loss_t(pred_fake_d, False) +
+                        gan_loss_t(pred_real_d, True)) * 0.5
+    tdisc.zero_grad()
+    loss_d_t.backward()
+
+    # ---- my G objective + grads (the exact function the train step uses)
+    cfg = TrainConfig(weight_adv=ALPHA, weight_vae=BETA)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params_g=variables["params"],
+        batch_stats_g=variables.get("batch_stats", {}),
+        opt_state_g=None, params_d=params_d, opt_state_d=None)
+    loss_g_fn = _build_loss_g(jmodel, jdisc, cfg)
+    x_j = jnp.asarray(np.moveaxis(x_t, 1, -1))
+    m_j = jnp.asarray(np.moveaxis(mask_np, 1, -1))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))  # unused: noise patched
+    (loss_j, aux), grads_j = jax.value_and_grad(loss_g_fn, has_aux=True)(
+        state.params_g, state, x_j, m_j, jnp.asarray(keep), k1, k2)
+
+    assert abs(float(loss_j) - float(loss_t)) < 2e-4, (
+        float(loss_j), float(loss_t))
+
+    # convert reference grads through the same layout mapping as the weights
+    from xlstm_hved_tpu.utils.torch_import import hved_params_from_torch
+    grads_t, _ = hved_params_from_torch(_grads_as_state_dict(tmodel),
+                                        jmodel.cfg)
+    gmax, gmean = _tree_scaled_err(
+        jax.tree.map(np.asarray, grads_j), grads_t)
+    # fp32 graph, condition number ~1e3 through stacked InstanceNorms (see
+    # test_torch_parity tolerance calibration): scaled-error budget 5e-3 max
+    assert gmax < 5e-3, (gmax, gmean)
+    assert gmean < 2e-4, (gmax, gmean)
+
+    # ---- my D objective + grads on the stop-gradient aux the step uses
+    def loss_d_fn(pd):
+        pf = jdisc.apply({"params": pd},
+                         jnp.concatenate([aux["m_seg"], aux["atten_m"]],
+                                         axis=-1))
+        pr = jdisc.apply({"params": pd},
+                         jnp.concatenate([aux["f_seg"], aux["atten_f"]],
+                                         axis=-1))
+        return ALPHA * (gan_loss_lsgan(pf, False) +
+                        gan_loss_lsgan(pr, True)) * 0.5
+
+    loss_d_j, grads_d_j = jax.value_and_grad(loss_d_fn)(params_d)
+    assert abs(float(loss_d_j) - float(loss_d_t)) < 2e-4, (
+        float(loss_d_j), float(loss_d_t))
+
+    grads_d_t = disc_params_from_torch({
+        k: (p.grad.detach().numpy() if p.grad is not None
+            else np.zeros(p.shape, np.float32))
+        for k, p in tdisc.named_parameters()})
+    dmax, dmean = _tree_scaled_err(
+        jax.tree.map(np.asarray, grads_d_j), grads_d_t)
+    assert dmax < 5e-3, (dmax, dmean)
+    assert dmean < 2e-4, (dmax, dmean)
+
+
+def test_discriminator_transplant_parity():
+    """Shared-weights forward equality for the PatchGAN discriminator
+    (round-2 VERDICT Missing #5; reference RA_HVED.py:204-236)."""
+    ra = load_reference()
+    torch.manual_seed(3)
+    tdisc = ra.Discriminator(in_channels=7, ks=4, strides=[1, 2, 2, 2])
+    tdisc.eval()
+    jdisc = Discriminator(f_maps=64, kernel=4)
+    params = jax.tree.map(jnp.asarray,
+                          disc_params_from_torch(tdisc.state_dict()))
+
+    rng = np.random.RandomState(5)
+    x = rng.rand(1, 7, 32, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        t_out = tdisc(torch.from_numpy(x)).numpy()
+    j_out = jdisc.apply({"params": params},
+                        jnp.asarray(np.moveaxis(x, 1, -1)))
+    d = np.abs(np.moveaxis(t_out, 1, -1) - np.asarray(j_out))
+    assert d.max() < 5e-4, d.max()

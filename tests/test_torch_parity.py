@@ -175,6 +175,53 @@ def test_forward_parity_conv_family(name, ref_cls):
         assert lv_err < 5e-4, (lvl, lv_err)
 
 
+def test_u_hemis_transplant_parity():
+    """Shared-weights forward equality for the U-HeMIS baseline
+    (/root/reference/U_Hemis.py:14-168; round-2 VERDICT Missing #5), with a
+    dropped modality so the zeroed-stream mean/var abstraction path is
+    exercised on both sides."""
+    import importlib
+
+    load_reference()  # sys.path + cuda neutralization
+    uh = importlib.import_module("U_Hemis")
+    from xlstm_hved_tpu.models.hemis import UHeMIS
+    from xlstm_hved_tpu.utils.torch_import import hemis_params_from_torch
+
+    torch.manual_seed(0)
+    tmodel = uh.U_HeMIS(num_cls=3, final_sigmoid=True)
+    _recondition_weights(tmodel)
+    tmodel.eval()
+
+    jmodel = UHeMIS(num_cls=3, n_base=8, final_sigmoid=True)
+    params = hemis_params_from_torch(tmodel.state_dict())
+
+    x0 = jnp.zeros((1, 32, 32, 32, 4), jnp.float32)
+    ref_vars = jax.eval_shape(
+        lambda: jmodel.init(jax.random.PRNGKey(0), x0))
+    import flax
+    got = flax.traverse_util.flatten_dict(params)
+    want = flax.traverse_util.flatten_dict(ref_vars["params"])
+    assert set(got) == set(want), (
+        sorted(set(want) - set(got))[:5], sorted(set(got) - set(want))[:5])
+    for k in want:
+        assert got[k].shape == want[k].shape, (k, got[k].shape, want[k].shape)
+
+    rng = np.random.RandomState(21)
+    x_t = rng.rand(*SHAPE).astype(np.float32)
+    x_t[:, 1] = 0.0  # dropped modality — both sides infer the drop mask
+    with torch.no_grad():
+        t_seg, t_rec = tmodel(torch.from_numpy(x_t))
+    out_seg, out_rec = jmodel.apply(
+        {"params": jax.tree.map(jnp.asarray, params)},
+        jnp.asarray(np.moveaxis(x_t, 1, -1)))
+    seg_d = np.abs(_to_channels_last(t_seg.numpy()) - np.asarray(out_seg))
+    rec_d = np.abs(_to_channels_last(t_rec.numpy()) - np.asarray(out_rec))
+    assert seg_d.max() < 1.5e-3, seg_d.max()
+    assert seg_d.mean() < 2e-5, seg_d.mean()
+    assert rec_d.max() < 5e-3, rec_d.max()
+    assert rec_d.mean() < 1e-4, rec_d.mean()
+
+
 def test_forward_parity_missing_modality_subset():
     """Subset 7 = {0} per SUBSETS_MODALITIES ordering — check the PoE
     missing-modality path agrees, not just the full-modality one."""

@@ -117,8 +117,13 @@ def write_nifti(path: str, data: np.ndarray,
     hdr[344:348] = b"n+1\x00"
     payload = bytes(hdr) + np.asfortranarray(data).tobytes(order="F")
     if path.endswith(".gz"):
-        with gzip.open(path, "wb", compresslevel=4) as f:
-            f.write(payload)
+        # mtime=0 + no embedded filename so regenerating identical volumes
+        # is byte-deterministic (gzip otherwise stamps the current time into
+        # header bytes 4-7, making every regeneration a spurious diff).
+        with open(path, "wb") as raw:
+            with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0,
+                               compresslevel=4) as f:
+                f.write(payload)
     else:
         with open(path, "wb") as f:
             f.write(payload)

@@ -89,8 +89,10 @@ class HemisDecoder(nn.Module):
             x = jnp.concatenate([x, skip], axis=-1)
             x = HemisBlock(feat, encoder=False, order=self.order,
                            dtype=self.dtype, name=f"dec{j}")(x)
+        # reference final_conv is BasicConv(..., relu=False, norm=False) with
+        # the buildingblocks.py:14 bias=False default — no bias term
         return BasicConv(self.num_cls, 1, norm=False, relu=False,
-                         use_bias=True, dtype=self.dtype, name="final")(x)
+                         dtype=self.dtype, name="final")(x)
 
 
 class UHeMIS(nn.Module):

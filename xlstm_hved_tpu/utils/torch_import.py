@@ -348,6 +348,66 @@ def hved_params_from_torch(sd: Dict[str, np.ndarray], cfg: HVEDConfig
     return p, stats
 
 
+def hemis_params_from_torch(sd: Dict[str, np.ndarray],
+                            streams: int = 4) -> Dict:
+    """Convert a reference U_HeMIS state_dict (/root/reference/U_Hemis.py:
+    14-168) into params for models.hemis.UHeMIS.
+
+    The per-modality ConvEncoders (enc_list.{m}) map onto the nn.vmap'd
+    HemisEncoder: every leaf gains a leading modality axis. Encoder Sequential
+    indices: 0 = init BasicConv, 1/3/5/7 = the four ResBlocks (U_Hemis.py:
+    70-85); MaxPools carry no params. All BasicConvs are bias-free
+    (buildingblocks.py:14 default)."""
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else
+              np.asarray(v)) for k, v in sd.items()}
+    p: Dict = {}
+
+    enc: Dict = {"init": {"conv": {"kernel": np.stack(
+        [_t(sd[f"enc_list.{m}.encoder.0.conv.weight"])
+         for m in range(streams)])}}}
+    for b, idx in enumerate((1, 3, 5, 7)):
+        blk = {}
+        for sub, tname in (("conv1", "SingleConv1"), ("conv2", "SingleConv2")):
+            base = [f"enc_list.{m}.encoder.{idx}.{tname}.conv"
+                    for m in range(streams)]
+            blk[sub] = {"Conv3DFast_0": {
+                "kernel": np.stack([_t(sd[f"{k}.weight"]) for k in base]),
+                "bias": np.stack([np.asarray(sd[f"{k}.bias"]) for k in base]),
+            }}
+        enc[f"block{b}"] = blk
+    p["encoders"] = enc
+
+    def decoder(prefix: str) -> Dict:
+        d: Dict = {}
+        for j, tname in enumerate(("d3_c1", "d2_c1", "d1_c1")):
+            d[f"dec{j}"] = _double_conv_plain(sd, f"{prefix}.{tname}")
+        d["final"] = {"conv": {
+            "kernel": _t(sd[f"{prefix}.final_conv.conv.weight"])}}
+        return d
+
+    for m in range(streams):
+        p[f"recon_decoder_{m}"] = decoder(f"recon_decoder_list.{m}")
+    p["seg_decoder"] = decoder("seg_decoder")
+    return p
+
+
+def disc_params_from_torch(sd: Dict[str, np.ndarray],
+                           num_levels: int = 4) -> Dict:
+    """Convert a reference Discriminator state_dict (RA_HVED.py:204-236;
+    blocks are Sequential[Conv3d, InstanceNorm3d(no params), LeakyReLU],
+    buildingblocks.py:342-358) into params for models.hved.Discriminator
+    (block{i}.Conv_0 + last)."""
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else
+              np.asarray(v)) for k, v in sd.items()}
+    p: Dict = {}
+    for i in range(num_levels):
+        p[f"block{i}"] = {"Conv_0": {
+            "kernel": _t(sd[f"disc.{i}.0.weight"]),
+            "bias": np.asarray(sd[f"disc.{i}.0.bias"])}}
+    p["last"] = {"kernel": _t(sd["last.weight"])}
+    return p
+
+
 def load_reference_checkpoint(path: str, cfg: HVEDConfig) -> Tuple[Dict, Dict]:
     """Load a reference .pth checkpoint ({'model_sd': ...} or a bare
     state_dict) and convert it. Requires torch (CPU is fine)."""
