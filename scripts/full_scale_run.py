@@ -30,17 +30,28 @@ sys.path.insert(0, ROOT)
 RUNS = os.path.join(ROOT, "runs", "fullscale")
 
 
-def ensure_dataset(root: str, n_train: int, n_valid: int, shape) -> None:
+def ensure_dataset(root: str, n_train: int, n_valid: int, shape) -> dict:
+    """Materialize the synthetic dataset; returns actual per-split counts.
+
+    Only SYN-* subject directories count toward "already present" (stray
+    files don't), and the returned counts are what summary.json records so
+    the log always reflects the subjects actually used.
+    """
     from xlstm_hved_tpu.data.synthetic import write_synthetic_dataset
 
+    counts = {}
     for split, n, seed in (("train", n_train, 0), ("valid", n_valid, 1000)):
         d = os.path.join(root, split)
-        if os.path.isdir(d) and len(os.listdir(d)) >= n:
-            continue
-        t0 = time.time()
-        write_synthetic_dataset(d, n_subjects=n, shape=shape, seed=seed)
-        print(f"[data] wrote {n} subjects to {d} in {time.time()-t0:.0f}s",
-              flush=True)
+        existing = ([e for e in os.listdir(d) if e.startswith("SYN-")]
+                    if os.path.isdir(d) else [])
+        if len(existing) < n:
+            t0 = time.time()
+            write_synthetic_dataset(d, n_subjects=n, shape=shape, seed=seed)
+            print(f"[data] wrote {n} subjects to {d} "
+                  f"in {time.time()-t0:.0f}s", flush=True)
+            existing = [e for e in os.listdir(d) if e.startswith("SYN-")]
+        counts[split] = len(existing)
+    return counts
 
 
 def main():
@@ -55,8 +66,12 @@ def main():
     args = ap.parse_args()
 
     if args.quick:
+        # --quick shrinks shapes/epochs but still honors explicit
+        # --n_train/--n_valid (defaulting small) so the flags never
+        # silently no-op.
         shape, crop = (32, 48, 32), (16, 32, 16)
-        n_train, n_valid = 4, 2
+        n_train = args.n_train if "--n_train" in sys.argv else 4
+        n_valid = args.n_valid if "--n_valid" in sys.argv else 2
         pre_epochs, tr_epochs = 1, 2
         disc_kernel = 3
     else:
@@ -66,7 +81,7 @@ def main():
         disc_kernel = 4
 
     data_root = os.path.join(RUNS, "data")
-    ensure_dataset(data_root, n_train, n_valid, shape)
+    counts = ensure_dataset(data_root, n_train, n_valid, shape)
 
     common = [
         "--train_dir", os.path.join(data_root, "train"),
@@ -123,8 +138,9 @@ def main():
     print(f"[phase 3/3] done in {time.time()-t2:.0f}s; artifacts in {RUNS}",
           flush=True)
     summary = {
-        "crop": crop, "n_train": n_train, "pretrain_epochs": pre_epochs,
-        "train_epochs": tr_epochs,
+        "crop": crop,
+        "n_train": counts["train"], "n_valid": counts["valid"],
+        "pretrain_epochs": pre_epochs, "train_epochs": tr_epochs,
         "wall_s": round(time.time() - t0, 1),
     }
     with open(os.path.join(RUNS, "summary.json"), "w") as f:

@@ -246,3 +246,135 @@ def test_forward_parity_missing_modality_subset():
     seg_d = np.abs(_to_channels_last(t_seg.numpy()) - np.asarray(out.seg))
     assert seg_d.max() < 1.5e-3, seg_d.max()
     assert seg_d.mean() < 2e-5, seg_d.mean()
+
+
+def _build_uxlstm_ref(cls_name, module_name, conv_op_name, **kw):
+    """Instantiate a reference UxLSTM net (UxLSTM/nnunetv2/nets/) on CPU."""
+    import importlib
+
+    load_reference()  # sys.path + cuda neutralization
+    mod = importlib.import_module(f"nnunetv2.nets.{module_name}")
+    conv_op = getattr(torch.nn, conv_op_name)
+    norm_op = (torch.nn.InstanceNorm3d if conv_op_name == "Conv3d"
+               else torch.nn.InstanceNorm2d)
+    tmodel = getattr(mod, cls_name)(
+        conv_op=conv_op, conv_bias=True, norm_op=norm_op,
+        norm_op_kwargs={"eps": 1e-5, "affine": True},
+        nonlin=torch.nn.LeakyReLU, nonlin_kwargs={"inplace": True}, **kw)
+    _recondition_weights(tmodel)
+    tmodel.eval()
+    return tmodel
+
+
+def _assert_uxlstm_parity(tmodel, jmodel, spatial, in_ch):
+    """Transplant weights, validate the tree, compare forwards."""
+    import flax
+
+    from xlstm_hved_tpu.utils.torch_import import uxlstm_params_from_torch
+
+    params = uxlstm_params_from_torch(tmodel.state_dict(), jmodel)
+    x0 = jnp.zeros((1, *spatial, in_ch), jnp.float32)
+    ref_vars = jax.eval_shape(lambda: jmodel.init(jax.random.PRNGKey(0), x0))
+    got = flax.traverse_util.flatten_dict(params)
+    want = flax.traverse_util.flatten_dict(ref_vars["params"])
+    assert set(got) == set(want), (
+        sorted(set(want) - set(got))[:5], sorted(set(got) - set(want))[:5])
+    for k in want:
+        assert got[k].shape == want[k].shape, (k, got[k].shape, want[k].shape)
+
+    rng = np.random.RandomState(11)
+    x_t = rng.rand(1, in_ch, *spatial).astype(np.float32)
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(x_t))
+    j_out = jmodel.apply({"params": jax.tree.map(jnp.asarray, params)},
+                         jnp.asarray(np.moveaxis(x_t, 1, -1)))
+    t_list = t_out if isinstance(t_out, list) else [t_out]
+    j_list = j_out if isinstance(j_out, (list, tuple)) else [j_out]
+    assert len(t_list) == len(j_list)
+    for lvl, (t, j) in enumerate(zip(t_list, j_list)):
+        # NCHW/NCDHW -> channels-last (the shared _to_channels_last helper
+        # assumes 3D volumes; axis 1 is the channel in both ranks here)
+        d = np.abs(np.moveaxis(t.numpy(), 1, -1) - np.asarray(j))
+        assert d.max() < 1.5e-3, (lvl, d.max())
+        # mean budget 1e-4 (vs 2e-5 for the HVED family): the bottleneck ViL
+        # runs under stacked InstanceNorms whose reconditioned condition
+        # amplifies chunkwise-scan vs quadratic-form fp32 noise (measured
+        # skip3 mean 1e-4 -> output mean 4-6e-5)
+        assert d.mean() < 1e-4, (lvl, d.mean())
+
+
+@pytest.mark.parametrize("feats,deep_supervision", [
+    # last-stage fmap 4^3=64 voxels <= 64 feats -> channel-token ViL,
+    # deep-supervision heads (reference UxLSTMEnc_3d.py:168-179,385)
+    ((8, 16, 32, 64), True),
+    # 64 voxels > 32 feats -> patch-token ViL, single head
+    ((8, 16, 32, 32), False),
+])
+def test_uxlstm_enc_transplant_parity(feats, deep_supervision):
+    """Shared-weights forward equality for the reference UXlstmEnc
+    (/root/reference/UxLSTM/nnunetv2/nets/UxLSTMEnc_3d.py:427-498; round-2
+    VERDICT Missing #5): residual conv stages, conv mixers (stages 0-2),
+    ViL mixers (stage 3+) in both token modes, res decoder."""
+    from xlstm_hved_tpu.models.uxlstm import UXlstmEnc
+
+    strides = [[1, 1, 1], [2, 2, 2], [2, 2, 2], [2, 2, 2]]
+    kernels = [[3, 3, 3]] * 4
+    tmodel = _build_uxlstm_ref(
+        "UXlstmEnc", "UxLSTMEnc_3d", "Conv3d",
+        input_size=(32, 32, 32), input_channels=2, n_stages=4,
+        features_per_stage=list(feats), kernel_sizes=kernels,
+        strides=strides, n_conv_per_stage=[2, 2, 2, 2], num_classes=3,
+        n_conv_per_stage_decoder=[2, 2, 2], deep_supervision=deep_supervision)
+    jmodel = UXlstmEnc(
+        input_size=(32, 32, 32), input_channels=2, features_per_stage=feats,
+        num_classes=3, kernel_sizes=tuple(map(tuple, kernels)),
+        strides=tuple(map(tuple, strides)), n_conv_per_stage=2,
+        n_conv_per_stage_decoder=2, deep_supervision=deep_supervision,
+        dtype=jnp.float32)
+    _assert_uxlstm_parity(tmodel, jmodel, (32, 32, 32), 2)
+
+
+def test_uxlstm_bot_transplant_parity():
+    """Shared-weights forward equality for the reference UXlstmBot
+    (/root/reference/UxLSTM/nnunetv2/nets/UxLSTMBot_3d.py:372-445):
+    plain residual encoder + single bottleneck ViL."""
+    from xlstm_hved_tpu.models.uxlstm import UXlstmBot
+
+    strides = [[1, 1, 1], [2, 2, 2], [2, 2, 2]]
+    kernels = [[3, 3, 3]] * 3
+    tmodel = _build_uxlstm_ref(
+        "UXlstmBot", "UxLSTMBot_3d", "Conv3d",
+        input_channels=2, n_stages=3, features_per_stage=[8, 16, 32],
+        kernel_sizes=kernels, strides=strides, n_conv_per_stage=[2, 2, 2],
+        num_classes=3, n_conv_per_stage_decoder=[2, 2],
+        deep_supervision=False)
+    jmodel = UXlstmBot(
+        input_size=(16, 16, 16), input_channels=2,
+        features_per_stage=(8, 16, 32), num_classes=3,
+        kernel_sizes=tuple(map(tuple, kernels)),
+        strides=tuple(map(tuple, strides)), n_conv_per_stage=2,
+        n_conv_per_stage_decoder=2, deep_supervision=False,
+        dtype=jnp.float32)
+    _assert_uxlstm_parity(tmodel, jmodel, (16, 16, 16), 2)
+
+
+def test_uxlstm_enc_2d_transplant_parity():
+    """The 2D twin (UxLSTMEnc_2d.py) through the same rank-generic mapper."""
+    from xlstm_hved_tpu.models.uxlstm import UXlstmEnc
+
+    strides = [[1, 1], [2, 2], [2, 2], [2, 2]]
+    kernels = [[3, 3]] * 4
+    tmodel = _build_uxlstm_ref(
+        "UXlstmEnc", "UxLSTMEnc_2d", "Conv2d",
+        input_size=(32, 32), input_channels=1, n_stages=4,
+        features_per_stage=[8, 16, 32, 64], kernel_sizes=kernels,
+        strides=strides, n_conv_per_stage=[2, 2, 2, 2], num_classes=2,
+        n_conv_per_stage_decoder=[2, 2, 2], deep_supervision=False)
+    jmodel = UXlstmEnc(
+        input_size=(32, 32), input_channels=1,
+        features_per_stage=(8, 16, 32, 64), num_classes=2,
+        kernel_sizes=tuple(map(tuple, kernels)),
+        strides=tuple(map(tuple, strides)), n_conv_per_stage=2,
+        n_conv_per_stage_decoder=2, deep_supervision=False,
+        dtype=jnp.float32)
+    _assert_uxlstm_parity(tmodel, jmodel, (32, 32), 1)

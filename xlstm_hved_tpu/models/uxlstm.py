@@ -82,11 +82,15 @@ class ResBlockND(nn.Module):
         st = self.stride
         st = (st,) * ndim if isinstance(st, int) else tuple(st)
 
-        y = nn.Conv(self.features, kernel_size=ks, strides=st, padding="SAME",
+        # explicit symmetric k//2 padding (the reference's conv_pad_sizes,
+        # UxLSTMEnc_3d.py:181-183) — flax "SAME" pads (0, 1) under stride 2,
+        # which samples windows one pixel off torch's symmetric padding
+        pad = [(k // 2, k // 2) for k in ks]
+        y = nn.Conv(self.features, kernel_size=ks, strides=st, padding=pad,
                     dtype=self.dtype, name="conv1")(x)
         y = InstanceNormND(self.features, name="norm1")(y)
         y = nn.leaky_relu(y, negative_slope=1e-2)
-        y = nn.Conv(self.features, kernel_size=ks, padding="SAME",
+        y = nn.Conv(self.features, kernel_size=ks, padding=pad,
                     dtype=self.dtype, name="conv2")(y)
         y = InstanceNormND(self.features, name="norm2")(y)
         if self.use_1x1conv or x.shape[-1] != self.features or any(
@@ -147,6 +151,27 @@ def _stage_kernels(kernels, n_stages: int, ndim: int) -> List[Tuple[int, ...]]:
     return out
 
 
+def mixer_schedule(n_stages: int, ndim: int) -> List[str]:
+    """Per-stage encoder mixer kind, matching the reference files exactly.
+
+    The reference's "2D twin" is NOT a twin: UxLSTMEnc_3d.py:252-273 places a
+    conv mixer on stages 0-2 and ViL on 3+, while UxLSTMEnc_2d.py:257-285
+    places ViL on stages of the parity that guarantees the last stage gets
+    one (`bool(s%2) ^ bool(n_stages%2) and s > 1`), a conv mixer only on
+    stage 1, and Identity elsewhere."""
+    if ndim == 3:
+        return ["conv" if s < 3 else "vil" for s in range(n_stages)]
+    out = []
+    for s in range(n_stages):
+        if (s % 2 == 1) != (n_stages % 2 == 1) and s > 1:
+            out.append("vil")
+        elif s == 1:
+            out.append("conv")
+        else:
+            out.append("none")
+    return out
+
+
 def channel_token_schedule(input_size: Sequence[int],
                            features_per_stage: Sequence[int],
                            strides: Sequence[Sequence[int]],
@@ -173,7 +198,6 @@ class ResidualXlstmEncoder(nn.Module):
     kernel_sizes: Union[int, Tuple] = 3
     strides: Union[int, Tuple] = 2
     n_blocks_per_stage: Union[int, Tuple[int, ...]] = 1
-    vil_start_stage: int = 3  # reference: `if s < 3: conv else ViL` (:252-273)
     use_vil: bool = True      # False -> plain UNetResEncoder (UxLSTMBot)
     chunk_size: int = 128
     dtype: Optional[Dtype] = None
@@ -205,15 +229,17 @@ class ResidualXlstmEncoder(nn.Module):
                 x = ResBlockND(feats, kernels[s], 1, dtype=self.dtype,
                                name=f"stage{s}_block{b}")(x)
             if self.use_vil:
-                if s < self.vil_start_stage:
+                kind = mixer_schedule(n_stages, ndim)[s]
+                if kind == "conv":
                     x = ResBlockND(feats, kernels[s], 1, dtype=self.dtype,
                                    name=f"mixer{s}")(x)
-                else:
+                elif kind == "vil":
                     dim = (int(np.prod(fmap_sizes[s])) if do_channel[s]
                            else feats)
                     x = ViLMixerND(dim, channel_token=do_channel[s],
                                    chunk_size=self.chunk_size,
                                    name=f"mixer{s}")(x)
+                # "none": the 2D schedule's nn.Identity
             skips.append(x)
         return skips
 
@@ -221,7 +247,12 @@ class ResidualXlstmEncoder(nn.Module):
 class UNetResDecoder(nn.Module):
     """Nearest-upsample (+1x1 conv) / concat-skip / ResBlock decoder with
     optional deep supervision (reference UNetResDecoder,
-    UxLSTMEnc_3d.py:320-425). Returns highest-resolution logits first."""
+    UxLSTMEnc_3d.py:320-425). Returns highest-resolution logits first.
+
+    In the reference's 2D files the decoder's LAST (highest-resolution)
+    stage does not concatenate the stem skip (UxLSTMEnc_2d.py:375,408 —
+    `if s < len(stages)-1: cat`), so the 2D nets ignore skips[0]; matched
+    here by spatial rank."""
 
     num_classes: int
     features_per_stage: Tuple[int, ...]
@@ -250,7 +281,8 @@ class UNetResDecoder(nn.Module):
                     x = jnp.repeat(x, r, axis=ax + 1)
             x = nn.Conv(feats_skip, kernel_size=(1,) * ndim, dtype=self.dtype,
                         name=f"up{s}_conv")(x)
-            x = jnp.concatenate([x, skips[-(s + 1)]], axis=-1)
+            if not (ndim == 2 and s == n_stages - 1):
+                x = jnp.concatenate([x, skips[-(s + 1)]], axis=-1)
             x = ResBlockND(feats_skip, kernels[-(s + 1)], 1, use_1x1conv=True,
                            dtype=self.dtype, name=f"dec{s}_res")(x)
             for b in range(n_conv[s - 1] - 1):

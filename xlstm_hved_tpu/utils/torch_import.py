@@ -19,9 +19,9 @@ Layout translation rules:
 - torch BatchNorm3d {weight, bias, running_mean, running_var} -> flax
   BatchNorm {scale, bias} params + {mean, var} batch_stats.
 
-Supported model families: the DoubleConv-based MVAE zoo (U_HVEDConvNet3D,
-the DuSFE variants, and the ViL/skr flagship tail where noted). Fusion /
-ExtResNetBlock variants raise NotImplementedError.
+Supported model families: the MVAE zoo (DoubleConv and ExtResNetBlock basic
+modules, DuSFE variants, the ViL/skr flagship), U_HeMIS, the Discriminator,
+and the UxLSTM nnU-Net nets (uxlstm_params_from_torch).
 """
 from __future__ import annotations
 
@@ -156,6 +156,21 @@ def _duse(sd, key: str) -> Tuple[Dict, Dict]:
             "var": np.asarray(sd[f"{key}.bn_fuse_ch2.running_var"])},
     }
     return params, stats
+
+
+def _tnd(w) -> np.ndarray:
+    """torch convNd weight (Cout, Cin, *k) -> flax kernel (*k, Cin, Cout);
+    rank-generic (2D and 3D UxLSTM twins share one mapper)."""
+    a = np.asarray(w)
+    perm = tuple(range(2, a.ndim)) + (1, 0)
+    return np.ascontiguousarray(a.transpose(perm))
+
+
+def _convnd(sd, key) -> Dict[str, np.ndarray]:
+    out = {"kernel": _tnd(sd[f"{key}.weight"])}
+    if f"{key}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{key}.bias"])
+    return out
 
 
 def _conv1d_depthwise(w) -> np.ndarray:
@@ -388,6 +403,101 @@ def hemis_params_from_torch(sd: Dict[str, np.ndarray],
     for m in range(streams):
         p[f"recon_decoder_{m}"] = decoder(f"recon_decoder_list.{m}")
     p["seg_decoder"] = decoder("seg_decoder")
+    return p
+
+
+def _inorm_affine(sd, key: str) -> Dict[str, np.ndarray]:
+    """torch InstanceNorm{2,3}d(affine=True) -> InstanceNormND params."""
+    return {"scale": np.asarray(sd[f"{key}.weight"]),
+            "bias": np.asarray(sd[f"{key}.bias"])}
+
+
+def _ux_basic_res(sd, key: str) -> Dict:
+    """reference BasicResBlock (UxLSTMEnc_3d.py:90-127: conv1/norm1/conv2/
+    norm2 (+conv3 skip when use_1x1conv)) -> models.uxlstm.ResBlockND."""
+    out = {"conv1": _convnd(sd, f"{key}.conv1"),
+           "norm1": _inorm_affine(sd, f"{key}.norm1"),
+           "conv2": _convnd(sd, f"{key}.conv2"),
+           "norm2": _inorm_affine(sd, f"{key}.norm2")}
+    if f"{key}.conv3.weight" in sd:
+        out["conv3"] = _convnd(sd, f"{key}.conv3")
+    return out
+
+
+def _ux_basic_block_d(sd, key: str) -> Dict:
+    """dynamic_network_architectures BasicBlockD (identity-skip residual:
+    conv1.{conv,norm} -> conv2.{conv,norm}; the all_modules.* keys alias the
+    same tensors) -> ResBlockND without a conv3."""
+    return {"conv1": _convnd(sd, f"{key}.conv1.conv"),
+            "norm1": _inorm_affine(sd, f"{key}.conv1.norm"),
+            "conv2": _convnd(sd, f"{key}.conv2.conv"),
+            "norm2": _inorm_affine(sd, f"{key}.conv2.norm")}
+
+
+def uxlstm_params_from_torch(sd: Dict[str, np.ndarray], model) -> Dict:
+    """Convert a reference UXlstmEnc / UXlstmBot state_dict
+    (/root/reference/UxLSTM/nnunetv2/nets/UxLSTMEnc_3d.py:427-498,
+    UxLSTMBot_3d.py:360-445; 2D twins share the key layout) into params for
+    the matching models.uxlstm net.
+
+    Requires conv_bias=True checkpoints (what get_uxlstm_enc_3d_from_plans
+    produces, UxLSTMEnc_3d.py:527). With deep_supervision=False the reference
+    still creates every seg head but only uses seg_layers[-1] (:385,401);
+    the unused heads are dead weight and not read.
+    """
+    from xlstm_hved_tpu.models.uxlstm import (UXlstmBot, UXlstmEnc,
+                                              _nnunet_block_caps,
+                                              mixer_schedule)
+
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else
+              np.asarray(v)) for k, v in sd.items()}
+    if "encoder.stem.0.conv1.bias" not in sd:
+        raise NotImplementedError(
+            "uxlstm import requires conv_bias=True checkpoints")
+    use_vil = isinstance(model, UXlstmEnc)
+    assert use_vil or isinstance(model, UXlstmBot), type(model)
+    n_stages = len(model.features_per_stage)
+    n_blocks, n_dec = _nnunet_block_caps(
+        n_stages, model.n_conv_per_stage, model.n_conv_per_stage_decoder)
+
+    enc: Dict = {"stem_res": _ux_basic_res(sd, "encoder.stem.0")}
+    for b in range(n_blocks[0] - 1):
+        enc[f"stem_block{b}"] = _ux_basic_block_d(sd, f"encoder.stem.{1 + b}")
+    for s in range(n_stages):
+        enc[f"stage{s}_res"] = _ux_basic_res(sd, f"encoder.stages.{s}.0")
+        for b in range(n_blocks[s] - 1):
+            enc[f"stage{s}_block{b}"] = _ux_basic_block_d(
+                sd, f"encoder.stages.{s}.{1 + b}")
+        if use_vil:
+            # per-stage mixer kind differs between the 3D and 2D reference
+            # files (see models.uxlstm.mixer_schedule); "none" stages are
+            # nn.Identity on the torch side (no params)
+            kind = mixer_schedule(n_stages, len(model.input_size))[s]
+            if kind == "conv":
+                enc[f"mixer{s}"] = _ux_basic_block_d(
+                    sd, f"encoder.xlstm_layers.{s}")
+            elif kind == "vil":
+                enc[f"mixer{s}"] = _vil3d(sd, f"encoder.xlstm_layers.{s}")
+
+    dec: Dict = {}
+    for i in range(n_stages - 1):
+        dec[f"up{i + 1}_conv"] = _convnd(
+            sd, f"decoder.upsample_layers.{i}.conv")
+        dec[f"dec{i + 1}_res"] = _ux_basic_res(sd, f"decoder.stages.{i}.0")
+        for b in range(n_dec[i] - 1):
+            dec[f"dec{i + 1}_block{b}"] = _ux_basic_block_d(
+                sd, f"decoder.stages.{i}.{1 + b}")
+        if model.deep_supervision:
+            dec[f"seg{i + 1}"] = _convnd(sd, f"decoder.seg_layers.{i}")
+    if not model.deep_supervision:
+        dec[f"seg{n_stages - 1}"] = _convnd(
+            sd, f"decoder.seg_layers.{n_stages - 2}")
+
+    p: Dict = {"encoder": enc, "decoder": dec}
+    if not use_vil:
+        # UXlstmBot: single bottleneck ViL outside the encoder
+        # (UxLSTMBot_3d.py:436-440: self.xlstm = ViLLayer(features[-1]))
+        p["xlstm"] = _vil3d(sd, "xlstm")
     return p
 
 
