@@ -378,3 +378,66 @@ def test_uxlstm_enc_2d_transplant_parity():
         n_conv_per_stage_decoder=2, deep_supervision=False,
         dtype=jnp.float32)
     _assert_uxlstm_parity(tmodel, jmodel, (32, 32), 1)
+
+
+def test_fusion_unet_transplant_parity():
+    """Shared-weights forward equality for FusionUNet3D — the fusion=True
+    non-MVAE path (/root/reference/RA_HVED.py:689-700: ModalityGate fusion
+    blocks, last_compress seg bottleneck, half-width recon ladder).
+
+    As shipped the reference class is doubly broken: it omits fusion=True
+    (NameError in forward) and its seg decoders call AttenModule with
+    recon_x=None (TypeError, buildingblocks.py:211-217). Instantiated here
+    with fusion=True and the seg decoders' RSM flag cleared so the
+    constructed concat `joining` runs — the intended vanilla-UNet semantics
+    both implementations share (same defect class as SURVEY.md §4)."""
+    import flax
+
+    from xlstm_hved_tpu.utils.torch_import import fusion_params_from_torch
+
+    ra = load_reference()
+    torch.manual_seed(0)
+    tmodel = ra.FusionUNet3D(1, 3, multi_stream=4, fusion_level=4,
+                             shared_recon=True, recon_skip=True,
+                             final_sigmoid=True, f_maps=4, layer_order="ilc",
+                             fusion=True)
+    for dec in tmodel.decoders:
+        dec.RSM = False
+    _recondition_weights(tmodel)
+    tmodel.eval()
+
+    jmodel = find_model_using_name("FusionUNet3D", compute_dtype="float32")
+    params = fusion_params_from_torch(tmodel.state_dict(), jmodel.cfg)
+
+    x0 = jnp.zeros((1, 32, 32, 32, 4), jnp.float32)
+    ref_vars = jax.eval_shape(lambda: jmodel.init(
+        {"params": jax.random.PRNGKey(0), "latent": jax.random.PRNGKey(1)},
+        x0, deterministic=True, recon=True))
+    got = flax.traverse_util.flatten_dict(params)
+    want = flax.traverse_util.flatten_dict(ref_vars["params"])
+    assert set(got) == set(want), (
+        sorted(set(want) - set(got))[:5], sorted(set(got) - set(want))[:5])
+    for k in want:
+        assert got[k].shape == want[k].shape, (k, got[k].shape, want[k].shape)
+    variables = {"params": jax.tree.map(jnp.asarray, params)}
+
+    for subset_idx in (14, 4):  # all modalities; subset {0,1}
+        keep = np.zeros(4, bool)
+        keep[list(ra.SUBSETS_MODALITIES[subset_idx])] = True
+        rng = np.random.RandomState(42 + subset_idx)
+        x_t = rng.rand(*SHAPE).astype(np.float32)
+        with torch.no_grad():
+            # non-MVAE returns (seg, bottleneck, cat(recon))
+            t_seg, _bottleneck, t_rec = tmodel(
+                torch.from_numpy(x_t), subset_idx_list=[subset_idx],
+                valid=True, seg=True, recon=True)
+        out = jmodel.apply(variables, jnp.asarray(np.moveaxis(x_t, 1, -1)),
+                           keep=jnp.asarray(keep), deterministic=True,
+                           seg=True, recon=True)
+        seg_d = np.abs(_to_channels_last(t_seg.numpy()) - np.asarray(out.seg))
+        rec_d = np.abs(_to_channels_last(t_rec.numpy()) -
+                       np.asarray(out.recon))
+        assert seg_d.max() < 1.5e-3, (subset_idx, seg_d.max())
+        assert seg_d.mean() < 2e-5, (subset_idx, seg_d.mean())
+        assert rec_d.max() < 5e-3, (subset_idx, rec_d.max())
+        assert rec_d.mean() < 1e-4, (subset_idx, rec_d.mean())

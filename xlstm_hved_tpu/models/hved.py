@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from xlstm_hved_tpu.config import HVEDConfig
+from xlstm_hved_tpu.config import HVEDConfig, features_per_level
 from xlstm_hved_tpu.nn.blocks import (
     BasicConv,
     BlockDiagConv,
@@ -174,8 +174,11 @@ class HVEDFusionNet(nn.Module):
                 if cfg.fusion:
                     feats = [f * keep_b[:, m, None, None, None, None].astype(dtype)
                              for m, f in enumerate(split_streams(xs))]
+                    # gate_channels = dec//rec_fac with rec_fac=2: the fused
+                    # features feed the HALF-width recon ladder
+                    # (RA_HVED.py:320,412)
                     fused, gated = FusionModule(
-                        dec_f[level], mode="modal", in_modalities=M,
+                        dec_f[level] // 2, mode="modal", in_modalities=M,
                         dtype=dtype, name=f"fusion_{level}",
                     )(feats)
                     rec_feats.insert(0, fused)
@@ -293,9 +296,13 @@ class HVEDFusionNet(nn.Module):
                 rsm=cfg.mvae, mvae=cfg.mvae, dtype=dtype,
                 name=f"sdecoder_{j}")
 
+        # recon ladder width: dec_f_maps for MVAE, dec//2 for fusion
+        # (ReconDecoder f_maps=rec_f_maps, RA_HVED.py:28,320)
+        rev_rec = list(reversed(features_per_level(cfg.rec_f_maps, levels)))
+
         def rec_decoder_stage(m, j):
             return _DecStage(
-                features=rev_dec[j + 1], basic_module=cfg.basic_module,
+                features=rev_rec[j + 1], basic_module=cfg.basic_module,
                 order=cfg.layer_order, num_groups=cfg.num_groups,
                 rsm=False, dtype=dtype, name=f"rdecoder_{m}_{j}")
 
@@ -356,9 +363,15 @@ class HVEDFusionNet(nn.Module):
 
         # plain seg decoder path
         if seg:
-            sx = bottleneck if cfg.mvae or cfg.fusion else None
-            if sx is None:
-                # non-MVAE non-fusion: concat streams (legacy path)
+            if cfg.fusion:
+                # seg bottleneck is last_compress(cat(streams)) — distinct
+                # from the recon bottleneck (the FusionModule output)
+                # (RA_HVED.py:424,630)
+                from xlstm_hved_tpu.nn.blocks import BasicConv
+                sx = BasicConv(rev_dec[0], 1, dtype=dtype,
+                               name="last_compress")(
+                    jnp.concatenate(seg_feats_nonmvae[0], axis=-1))
+            else:
                 sx = bottleneck
             skip_src = skips if cfg.mvae or not cfg.fusion else seg_feats_nonmvae[1:]
             for j in range(n_dec):

@@ -406,6 +406,65 @@ def hemis_params_from_torch(sd: Dict[str, np.ndarray],
     return p
 
 
+def fusion_params_from_torch(sd: Dict[str, np.ndarray], cfg: HVEDConfig
+                             ) -> Dict:
+    """Convert a reference FusionUNet3D state_dict (the fusion=True non-MVAE
+    path, /root/reference/RA_HVED.py:689-700,411-424) into params for
+    HVEDFusionNet.
+
+    Dead reference weight deliberately not read: the fusion seg decoders'
+    atten_module (the reference's forward crashes calling AttenModule with
+    recon_x=None, buildingblocks.py:211-217 — the runnable semantics are the
+    plain concat join both sides use)."""
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else
+              np.asarray(v)) for k, v in sd.items()}
+    assert cfg.fusion and not cfg.mvae, "use hved_params_from_torch for MVAE"
+    M = cfg.multi_stream
+    L = cfg.num_levels
+    n_dec = L - 1
+    p: Dict = {}
+
+    p["init_blocks"] = _stacked_conv(sd, lambda m: f"init_blocks.{m}.0", M)
+    for i in range(L):
+        blocks = {}
+        for b in range(cfg.num_block[i]):
+            blocks[f"block{b}"] = _basic_folded(
+                sd,
+                lambda m, sc, i=i, b=b: f"encoders.{i}.{m}.basic_module.{b}.{sc}",
+                M, cfg.basic_module)
+        p[f"encoders_{i}"] = blocks
+        # FusionModule: ModalityGate MLP (shared across avg/max pools) +
+        # bias-free 1x1 BasicConv compress (buildingblocks.py:160-186)
+        fk = f"FBs.{i}"
+        p[f"fusion_{i}"] = {
+            "gate": {
+                "Dense_0": {"kernel": _lin(sd[f"{fk}.gate.mlp.1.weight"]),
+                            "bias": np.asarray(sd[f"{fk}.gate.mlp.1.bias"])},
+                "Dense_1": {"kernel": _lin(sd[f"{fk}.gate.mlp.3.weight"]),
+                            "bias": np.asarray(sd[f"{fk}.gate.mlp.3.bias"])},
+            },
+            "compress": {"conv": {
+                "kernel": _t(sd[f"{fk}.compress.conv.weight"])}},
+        }
+
+    p["last_compress"] = {"conv": {
+        "kernel": _t(sd["last_compress.conv.weight"])}}
+
+    for j in range(n_dec):
+        p[f"sdecoder_{j}"] = {"basic": _basic_plain(
+            sd, f"decoders.{j}.basic_module", cfg.basic_module)}
+    p["final_conv"] = _conv(sd, "final_conv")
+
+    rec_streams = 1 if cfg.shared_recon else M
+    for m in range(rec_streams):
+        for j in range(n_dec):
+            p[f"rdecoder_{m}_{j}"] = {"basic": _basic_plain(
+                sd, f"rdecoder.multi_decoders.{m}.{j}.basic_module",
+                cfg.basic_module)}
+        p[f"rfinal_{m}"] = _conv(sd, f"rdecoder.finals.{m}")
+    return p
+
+
 def _inorm_affine(sd, key: str) -> Dict[str, np.ndarray]:
     """torch InstanceNorm{2,3}d(affine=True) -> InstanceNormND params."""
     return {"scale": np.asarray(sd[f"{key}.weight"]),
