@@ -367,7 +367,6 @@ class HVEDFusionNet(nn.Module):
                 # seg bottleneck is last_compress(cat(streams)) — distinct
                 # from the recon bottleneck (the FusionModule output)
                 # (RA_HVED.py:424,630)
-                from xlstm_hved_tpu.nn.blocks import BasicConv
                 sx = BasicConv(rev_dec[0], 1, dtype=dtype,
                                name="last_compress")(
                     jnp.concatenate(seg_feats_nonmvae[0], axis=-1))
