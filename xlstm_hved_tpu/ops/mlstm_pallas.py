@@ -225,7 +225,7 @@ def _mlstm_bwd_kernel(q_ref, k_ref, v_ref, g_ref, a_ref, s_ref, cm_ref,
     s_row = srow_ref[0]                 # (1, L)
     c_in = cent_ref[0, 0]               # (DH, DH) chunk-entry state
     n_in = nent_ref[0, 0]               # (1, DH)
-    m_in = ment_ref[0, 0]               # scalar
+    m_in = ment_ref[0, 0, 0]            # scalar (broadcast col, see driver)
     dc_in = dc_state[:]
     dn_in = dn_state[:]
     dm_in = dm_state[0, 0]
@@ -340,14 +340,16 @@ def _pallas_backward(q, k, v, igate, fgate, g, chunk_size: int, eps: float,
     rix2 = lambda b, c, _n=nchunks: (b, _n - 1 - c, 0, 0)
     cent_spec = pl.BlockSpec((1, 1, DH, DH), rix2, memory_space=pltpu.VMEM)
     nent_spec = pl.BlockSpec((1, 1, 1, DH), rix2, memory_space=pltpu.VMEM)
-    ment_spec = pl.BlockSpec((1, 1), lambda b, c, _n=nchunks: (b, _n - 1 - c),
-                             memory_space=pltpu.SMEM)
+    # m* per chunk, broadcast over L as a VMEM column — a (1, 1) SMEM block
+    # is not lowerable on real TPUs (mosaic requires the last two block dims
+    # divisible by (8, 128) or equal to the array's)
+    m_col = jnp.repeat(m_ent[:, :, None], L, axis=2).reshape(BH, Sp, 1)
     f32 = jnp.float32
     dq, dk, dv, ds, dax = pl.pallas_call(
         functools.partial(_mlstm_bwd_kernel, eps=eps),
         grid=(BH, nchunks),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, qkv_spec, col_spec, col_spec,
-                  col_spec, row_spec, cent_spec, nent_spec, ment_spec],
+                  col_spec, row_spec, cent_spec, nent_spec, col_spec],
         out_specs=[qkv_spec, qkv_spec, qkv_spec, col_spec, col_spec],
         out_shape=[
             jax.ShapeDtypeStruct((BH, Sp, DH), f32),
@@ -362,7 +364,7 @@ def _pallas_backward(q, k, v, igate, fgate, g, chunk_size: int, eps: float,
             pltpu.SMEM((1, 1), f32),
         ],
         interpret=interpret,
-    )(qf, kf, vf, gf, col(a), col(s), col(cm), s_row, cent, nent, m_ent)
+    )(qf, kf, vf, gf, col(a), col(s), col(cm), s_row, cent, nent, m_col)
 
     # gate epilogue (XLA): di = ds; dA = dax - ds (s_p = i_p - A_p);
     # A = cumsum(lf) => dlf = reversed inclusive cumsum of dA per chunk;
