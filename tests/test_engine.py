@@ -160,14 +160,21 @@ def test_sliding_window_patch_equals_volume(setup):
 
 
 def test_sliding_window_overlap_averages(setup):
-    model, _, state, x, _ = setup
+    # Patch must be 16^3: the MVAE x2-upsample path needs every patch dim
+    # divisible by 2^num_levels (hved.py trace-time guard; the reference has
+    # the identical constraint). Overlap comes from a 24^3 volume with
+    # stride 8 -> 2 origins per axis, 8 overlapping windows.
+    model, _, state, _, _ = setup
     variables = {"params": state.params_g}
     if state.batch_stats_g:
         variables["batch_stats"] = state.batch_stats_g
-    predict = make_sliding_window(default_apply_fn(model), patch=(8, 8, 8),
-                                  stride=(4, 4, 4))
-    seg, _ = predict(variables, x, jnp.asarray(SUBSET_MASKS[14]))
-    assert seg.shape == (1, S, S, S, 3)
+    vol = 24
+    xv = jnp.asarray(np.random.RandomState(3).rand(1, vol, vol, vol, 4),
+                     jnp.float32)
+    predict = make_sliding_window(default_apply_fn(model), patch=(S, S, S),
+                                  stride=(8, 8, 8))
+    seg, _ = predict(variables, xv, jnp.asarray(SUBSET_MASKS[14]))
+    assert seg.shape == (1, vol, vol, vol, 3)
     s = np.asarray(seg)
     assert np.all(np.isfinite(s)) and s.min() >= 0 and s.max() <= 1
 
