@@ -237,7 +237,10 @@ def main():
                                           compute_dtype="bfloat16",
                                           remat=True)
         cfg = TrainConfig(crop_size=(size, size, size), num_epochs=10)
-        disc = Discriminator(f_maps=64, kernel=4 if size >= 48 else 3)
+        ddt = (jnp.bfloat16 if os.environ.get("XHVED_DISC_DTYPE") == "bfloat16"
+               else jnp.float32)
+        disc = Discriminator(f_maps=64, kernel=4 if size >= 48 else 3,
+                             dtype=ddt)
         state, _ = create_train_state(model, disc, cfg, jax.random.PRNGKey(0),
                                       x0, steps_per_epoch=10)
         step = make_train_step(model, disc, cfg, steps_per_epoch=10)
@@ -245,12 +248,17 @@ def main():
                                                           3)) > 0.7
                 ).astype(jnp.float32)
 
-        jax.block_until_ready(step(state, x0, mask, jax.random.PRNGKey(1)))
+        # the step donates its state arg — thread it, never reuse a
+        # donated buffer (the relay surfaces reuse as backend
+        # INVALID_ARGUMENT instead of a host-side deleted-array error)
+        state, _ = step(state, x0, mask, jax.random.PRNGKey(1))
+        jax.block_until_ready(state.params_g)
         times = []
         for i in range(4):
             t0 = time.perf_counter()
-            out = step(state, x0 + i * 1e-4, mask, jax.random.PRNGKey(2 + i))
-            jax.block_until_ready(out[0].params_g)
+            state, _ = step(state, x0 + i * 1e-4, mask,
+                            jax.random.PRNGKey(2 + i))
+            jax.block_until_ready(state.params_g)
             times.append(time.perf_counter() - t0)
         print(f"train step @ {size}^3 (host-chained, incl ~100ms dispatch): "
               f"{min(times)*1e3:.1f} ms")

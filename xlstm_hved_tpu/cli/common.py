@@ -43,6 +43,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--disc_kernel", type=int, default=4,
                    help="discriminator conv kernel (use 3 for crops < 48)")
     p.add_argument("--disc_fmaps", type=int, default=64)
+    p.add_argument("--disc_dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="discriminator compute dtype; the reference runs D "
+                        "under AMP autocast (train.py:218-285), so half "
+                        "precision is the faithful default")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize model stages in backward; required "
                         "for the reference 128x192x128 crop on one 16GB chip")

@@ -46,7 +46,9 @@ def main(argv=None):
     cfg = TrainConfig(crop_size=tuple(args.crop_size))
     model = find_model_using_name(args.model_name,
                                   compute_dtype=args.compute_dtype)
-    disc = Discriminator(f_maps=args.disc_fmaps, kernel=args.disc_kernel)
+    disc = Discriminator(f_maps=args.disc_fmaps, kernel=args.disc_kernel,
+                         dtype=jnp.bfloat16 if args.disc_dtype == "bfloat16"
+                         else jnp.float32)
     sample = jnp.zeros((1, *cfg.crop_size, 4), jnp.float32)
     state, _ = create_train_state(model, disc, cfg, jax.random.PRNGKey(0),
                                   sample)

@@ -65,7 +65,9 @@ def main(argv=None):
     model = find_model_using_name(args.model_name,
                                   compute_dtype=args.compute_dtype,
                                   remat=args.remat)
-    disc = Discriminator(f_maps=args.disc_fmaps, kernel=args.disc_kernel)
+    disc = Discriminator(f_maps=args.disc_fmaps, kernel=args.disc_kernel,
+                         dtype=jnp.bfloat16 if args.disc_dtype == "bfloat16"
+                         else jnp.float32)
 
     sample = jnp.zeros((1, *cfg.crop_size, 4), jnp.float32)
     rng, init_rng = jax.random.split(rng)

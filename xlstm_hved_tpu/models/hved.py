@@ -36,6 +36,7 @@ from xlstm_hved_tpu.nn.blocks import (
     BlockDiagEncoderStage,
     BlockDiagSingleConv,
     Conv1x1,
+    Conv3DFast,
     DecoderStage,
     EncoderStage,
     SingleConv,
@@ -406,6 +407,7 @@ class Discriminator(nn.Module):
                 f"Discriminator input too small: spatial {x.shape[1:4]} after "
                 f"downsampling leaves no support for the final k={self.kernel} "
                 "conv — use a larger crop or kernel=3")
-        x = nn.Conv(1, (self.kernel,) * 3, padding=((1, 1),) * 3,
-                    use_bias=False, dtype=self.dtype, name="last")(x)
+        x = Conv3DFast(1, self.kernel, padding=((1, 1),) * 3,
+                       kernel_init=nn.initializers.lecun_normal(),
+                       use_bias=False, dtype=self.dtype, name="last")(x)
         return x

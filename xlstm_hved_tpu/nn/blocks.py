@@ -30,7 +30,9 @@ Dtype = Any
 
 class Conv3DFast(nn.Module):
     """3D conv via the 2D-slab decomposition (ops/conv3d.py) with
-    torch-style symmetric padding; use for odd kernels (the whole model)."""
+    torch-style symmetric padding; use for odd kernels (the whole model).
+    `padding` overrides the symmetric default with explicit per-axis
+    (lo, hi) pairs (even kernels, e.g. the discriminator's k=4 p=1)."""
 
     features: int
     kernel_size: int = 3
@@ -38,13 +40,15 @@ class Conv3DFast(nn.Module):
     use_bias: bool = True
     dtype: Optional[Any] = None
     conv_mode: Optional[str] = None  # ops/conv3d.py formulation override
+    padding: Optional[Any] = None    # ((lo,hi),)*3 torch-style explicit
+    kernel_init: Any = nn.initializers.he_normal()
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
         cin = x.shape[-1]
         kernel = self.param(
-            "kernel", nn.initializers.he_normal(),
+            "kernel", self.kernel_init,
             (k, k, k, cin, self.features))
         dtype = self.dtype or x.dtype
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
@@ -52,7 +56,7 @@ class Conv3DFast(nn.Module):
         return conv3d_slab(x.astype(dtype), kernel.astype(dtype),
                            stride=self.stride,
                            bias=None if bias is None else bias,
-                           mode=self.conv_mode)
+                           mode=self.conv_mode, padding=self.padding)
 
 
 class Conv1x1(nn.Module):

@@ -125,11 +125,18 @@ class DiscriminatorBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from xlstm_hved_tpu.nn.blocks import instance_norm
+        from xlstm_hved_tpu.nn.blocks import Conv3DFast, instance_norm
 
-        x = nn.Conv(self.features, (self.kernel,) * 3,
-                    strides=(self.stride,) * 3, padding=disc_padding(self.kernel),
-                    dtype=self.dtype)(x)
+        # Routed through the tuned depth-fold conv (ops/conv3d.py) with the
+        # reference's explicit p=1 padding — XLA:TPU's direct 3D lowering of
+        # these k=4 64-512ch convs was most of the train step (the D passes
+        # measured ~8x slower than the folded 2D form). Param path/init match
+        # the previous nn.Conv ("Conv_0", lecun_normal), so checkpoints and
+        # the torch transplant mapping are unchanged.
+        x = Conv3DFast(self.features, self.kernel, stride=self.stride,
+                       padding=disc_padding(self.kernel),
+                       kernel_init=nn.initializers.lecun_normal(),
+                       dtype=self.dtype, name="Conv_0")(x)
         if self.normalize:
             x = instance_norm(x)
         return nn.leaky_relu(x, negative_slope=0.2)

@@ -56,9 +56,31 @@ def conv3d_slab(
     stride: int = 1,
     bias: Optional[jnp.ndarray] = None,
     mode: Optional[str] = None,
+    padding: Optional[tuple] = None,  # ((d_lo,d_hi),(h_lo,h_hi),(w_lo,w_hi))
 ) -> jnp.ndarray:
     kd, kh, kw, Cin, Cout = w.shape
     B, D, H, W, _ = x.shape
+    if padding is not None:
+        # Explicit torch-style padding (needed where the symmetric default
+        # is wrong, e.g. the PatchGAN discriminator's even k=4 with p=1,
+        # Conv3d(k=4, s, p=1) — /root/reference/buildingblocks.py:342-358).
+        # Depth is pre-padded and handled as a VALID conv via the same
+        # depth-fold: windows j : j+Dout of the padded volume.
+        (pd_lo, pd_hi), ph, pw = padding
+        xp = jnp.pad(x, ((0, 0), (pd_lo, pd_hi), (0, 0), (0, 0), (0, 0)))
+        dp = D + pd_lo + pd_hi
+        dout = dp - kd + 1
+        x3 = jnp.concatenate([xp[:, j:j + dout] for j in range(kd)], axis=-1)
+        x2 = x3.reshape(B * dout, H, W, kd * Cin)
+        w2 = w.transpose(1, 2, 0, 3, 4).reshape(kh, kw, kd * Cin, Cout)
+        y = jax.lax.conv_general_dilated(
+            x2, w2, (stride, stride), [tuple(ph), tuple(pw)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y.reshape(B, dout, *y.shape[1:])
+        out = y[:, ::stride] if stride > 1 else y
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out
     pad_d = (kd - 1) // 2
     pad_hw = [((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2]
     if mode is None:
