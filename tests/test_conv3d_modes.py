@@ -60,3 +60,40 @@ def test_conv3d_modes_gradients_agree():
 
     np.testing.assert_allclose(np.asarray(f("slab")),
                                np.asarray(f("depthfold")), atol=1e-4)
+
+
+@pytest.mark.parametrize("k,s", [(4, 1), (4, 2), (3, 1), (3, 2)])
+def test_conv3d_explicit_padding_matches_direct(k, s):
+    """The explicit-padding path (PatchGAN discriminator: even k=4 with
+    torch p=1 on EVERY axis, /root/reference/buildingblocks.py:342-358)
+    must match a direct 3D conv with the same padding, including the
+    depth-output length (D-1 at k=4 s=1 — not the symmetric default's D)."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 9, 10, 11, 5), jnp.float32)
+    w = jnp.asarray(rng.randn(k, k, k, 5, 6) * 0.1, jnp.float32)
+    pad = ((1, 1),) * 3
+    y = conv3d_slab(x, w, stride=s, padding=pad)
+    yref = jax.lax.conv_general_dilated(
+        x, w, (s,) * 3, list(pad),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    assert y.shape == yref.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yref), atol=2e-5)
+
+
+def test_conv3d_explicit_padding_gradients_match_direct():
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 8, 8, 8, 3), jnp.float32)
+    w = jnp.asarray(rng.randn(4, 4, 4, 3, 4) * 0.1, jnp.float32)
+    pad = ((1, 1),) * 3
+
+    def direct(w):
+        y = jax.lax.conv_general_dilated(
+            x, w, (2,) * 3, list(pad),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return jnp.sum(y ** 2)
+
+    def folded(w):
+        return jnp.sum(conv3d_slab(x, w, stride=2, padding=pad) ** 2)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(folded)(w)),
+                               np.asarray(jax.grad(direct)(w)), atol=1e-4)
