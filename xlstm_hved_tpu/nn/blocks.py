@@ -318,13 +318,71 @@ class ChannelPool(nn.Module):
         return jnp.concatenate([mx, mn], axis=-1)
 
 
+class _GroupedGateParams(nn.Module):
+    """Param holder matching BlockDiagConv(streams, expan, k) exactly
+    (names, shapes, init) without running its conv."""
+
+    streams: int
+    expan: int
+    kernel_size: int = 7
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.normal(stddev=(2.0 / k ** 3) ** 0.5),
+            (self.streams, k, k, k, 1, self.expan))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.streams, self.expan))
+        return kernel, bias
+
+
+class _PointGateParams(nn.Module):
+    """Param holder matching Conv1x1(out) exactly."""
+
+    cin: int
+    out: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, 1, self.cin, self.out))
+        bias = self.param("bias", nn.initializers.zeros, (self.out,))
+        return kernel, bias
+
+
+def _composed_pool_gate(x, streams, out, name1, name2, dtype):
+    """The reference's spatial-gate pair — grouped 7^3 conv then 1x1 conv
+    with NO nonlinearity between (buildingblocks.py:198-203, 276-279) — is a
+    composition of two linear maps, so fold the weights at apply time into
+    ONE thin 7^3 conv (streams -> out channels):
+
+        k_eff[t, m, o] = sum_e w7[m, t, 0, e] * w1[m*E + e, o]
+        b_eff[o]       = sum_{m,e} b7[m, e] * w1[m*E + e, o] + b1[o]
+
+    Exact (linear algebra; weights composed in fp32), with identical param
+    paths/shapes/init to the BlockDiagConv+Conv1x1 pair it replaces — so
+    checkpoints, transplants, and gradients are unchanged. Measured: the
+    uncomposed pair's 16-channel full-res intermediate made AttenModule2
+    3.76 ms of the 19.2 ms flagship forward at 128^3."""
+    expan = 4
+    w7, b7 = _GroupedGateParams(streams, expan, name=name1)()
+    w1, b1 = _PointGateParams(streams * expan, out, name=name2)()
+    w1r = w1.reshape(streams, expan, out)
+    keff = jnp.einsum("mabce,meo->abcmo", w7[..., 0, :], w1r)
+    beff = jnp.einsum("me,meo->o", b7, w1r) + b1
+    dt = dtype or x.dtype
+    return conv3d_slab(x.astype(dt), keff.astype(dt), bias=beff)
+
+
 class AttenModule2(nn.Module):
     """ROI-attentive skip fusion for the U-HVED (MVAE) decoder path
     (reference AttenModule2, buildingblocks.py:259-301).
 
     seg branch gets a (1 + sigmoid) self-gate from its own channel pool;
     enc branch gets a sigmoid cross-gate from [seg_pool, enc_pool]; output is
-    their channel concat.
+    their channel concat. The conv pairs run weight-composed
+    (_composed_pool_gate).
     """
 
     dtype: Optional[Dtype] = None
@@ -332,21 +390,18 @@ class AttenModule2(nn.Module):
     @nn.compact
     def __call__(self, seg_x, enc_x):
         pool = ChannelPool()
-        expan = 4
         spa_comp = pool(seg_x)  # (B, ..., 2)
 
         enc_spa = jnp.concatenate([spa_comp, pool(enc_x)], axis=-1)  # 4 ch
-        enc_scale = BlockDiagConv(4, expan, kernel_size=7, dtype=self.dtype,
-                                  name="enc_spatial")(enc_spa)
-        enc_scale = Conv1x1(1, dtype=self.dtype,
-                            name="enc_spatial2")(enc_scale)
+        enc_scale = _composed_pool_gate(enc_spa, 4, 1,
+                                        "enc_spatial", "enc_spatial2",
+                                        self.dtype)
         enc_scale = nn.sigmoid(enc_scale)
         s_enc_x = enc_x + enc_x * enc_scale
 
-        seg_scale = BlockDiagConv(2, expan, kernel_size=7, dtype=self.dtype,
-                                  name="seg_spatial")(spa_comp)
-        seg_scale = Conv1x1(1, dtype=self.dtype,
-                            name="seg_spatial2")(seg_scale)
+        seg_scale = _composed_pool_gate(spa_comp, 2, 1,
+                                        "seg_spatial", "seg_spatial2",
+                                        self.dtype)
         seg_scale = nn.sigmoid(seg_scale)
         scaled_seg_x = seg_x * (1.0 + seg_scale)
 
@@ -364,15 +419,12 @@ class AttenModule(nn.Module):
     def __call__(self, seg_x, enc_x: Sequence[jnp.ndarray],
                  recon_x: Sequence[jnp.ndarray]):
         pool = ChannelPool()
-        expan = 4
         spa_comp = pool(seg_x)
 
         recon_spa = jnp.concatenate([spa_comp] + [pool(r) for r in recon_x], axis=-1)
-        rec_scale = BlockDiagConv(2 * 5, expan, kernel_size=7,
-                                  dtype=self.dtype,
-                                  name="recon_spatial")(recon_spa)
-        rec_scale = Conv1x1(4, dtype=self.dtype,
-                            name="recon_spatial2")(rec_scale)
+        rec_scale = _composed_pool_gate(recon_spa, 2 * 5, 4,
+                                        "recon_spatial", "recon_spatial2",
+                                        self.dtype)
         rec_scale = nn.sigmoid(rec_scale)
         s_recon = [r + r * rec_scale[..., i:i + 1] for i, r in enumerate(recon_x)]
         s_recon = jnp.concatenate(s_recon, axis=-1)
@@ -380,21 +432,18 @@ class AttenModule(nn.Module):
                            name="input_comp")(s_recon)
 
         enc_spa = jnp.concatenate([spa_comp] + [pool(e) for e in enc_x], axis=-1)
-        enc_scale = BlockDiagConv(2 * 5, expan, kernel_size=7,
-                                  dtype=self.dtype,
-                                  name="enc_spatial")(enc_spa)
-        enc_scale = Conv1x1(4, dtype=self.dtype,
-                            name="enc_spatial2")(enc_scale)
+        enc_scale = _composed_pool_gate(enc_spa, 2 * 5, 4,
+                                        "enc_spatial", "enc_spatial2",
+                                        self.dtype)
         enc_scale = nn.sigmoid(enc_scale)
         s_enc = [e + e * enc_scale[..., i:i + 1] for i, e in enumerate(enc_x)]
         s_enc = jnp.concatenate(s_enc, axis=-1)
 
         scaled_recon_x = comp_x + s_enc
 
-        seg_scale = BlockDiagConv(2, expan, kernel_size=7, dtype=self.dtype,
-                                  name="seg_spatial")(spa_comp)
-        seg_scale = Conv1x1(1, dtype=self.dtype,
-                            name="seg_spatial2")(seg_scale)
+        seg_scale = _composed_pool_gate(spa_comp, 2, 1,
+                                        "seg_spatial", "seg_spatial2",
+                                        self.dtype)
         seg_scale = nn.sigmoid(seg_scale)
         scaled_seg_x = seg_x * (1.0 + seg_scale)
 
