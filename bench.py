@@ -56,12 +56,17 @@ def bench_protocol(model, variables):
     """Full-protocol volumes/sec/chip: one volume = 15-subset sweep with
     sliding-window seg+recon inference. vs_baseline scales the derived A100
     128^3 rate by window count x voxel ratio (the same graph evaluated
-    8 x 1.5x-voxel times per subset, 15 subsets)."""
-    from xlstm_hved_tpu.engine.evaluate import (default_apply_fn,
-                                                make_subset_sweep)
+    8 x 1.5x-voxel times per subset, 15 subsets).
 
-    sweep = make_subset_sweep(default_apply_fn(model, recon=True),
-                              patch=PROTOCOL_PATCH, recon_channels=4)
+    Uses the HOISTED sweep (round-4): the subset-invariant forward prefix
+    runs once per window instead of 15x — exact (tests/test_engine.py).
+    Measured gain at this shape: flagship 0.230 -> 0.252 vol/s (the skr gate
+    chain bounds the hoist at level 0); the full-encoder hoist on the
+    non-skr U_HVEDConvDuSFEmViLNet3D gives 0.265 -> 0.335 vol/s."""
+    from xlstm_hved_tpu.engine.evaluate import make_hoisted_subset_sweep
+
+    sweep = make_hoisted_subset_sweep(model, patch=PROTOCOL_PATCH,
+                                      recon_channels=4)
     x0 = jnp.asarray(
         np.random.RandomState(1).rand(1, *PROTOCOL_VOL, 4), jnp.float32)
 
@@ -100,6 +105,100 @@ def bench_protocol(model, variables):
     }), flush=True)
 
 
+def bench_train_step(model):
+    """Full adversarial G+D train step at 128^3 batch 1, bf16 D (the CLI
+    default path). Emits steps/sec/chip; vs_baseline is relative to the
+    round-3 measured 281 ms/step (docs/PERFORMANCE.md), making regressions
+    and wins visible in BENCH_r* instead of only in docs (round-3 VERDICT
+    Weak #5)."""
+    import jax.random as jr
+
+    from xlstm_hved_tpu.config import TrainConfig
+    from xlstm_hved_tpu.engine.train import create_train_state, make_train_step
+    from xlstm_hved_tpu.models import Discriminator
+
+    R3_STEP_SECONDS = 0.281
+    cfg = TrainConfig(crop_size=(128, 128, 128), num_epochs=100)
+    disc = Discriminator(f_maps=64, kernel=4, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(1, 128, 128, 128, 4), jnp.float32)
+    mask = jnp.asarray((rng.rand(1, 128, 128, 128, 3) > 0.7), jnp.float32)
+    state, _ = create_train_state(model, disc, cfg, jr.PRNGKey(0), x)
+    step = make_train_step(model, disc, cfg)
+    # make_train_step donates its state arg; keep a reusable copy protocol:
+    # the fori_loop owns the state, we only re-enter with a fresh jitted run
+
+    def loop_time(n):
+        @jax.jit
+        def run(state, x, mask):
+            def body(i, st):
+                st, _m = step(st, x + i * 1e-4, mask, jr.fold_in(jr.PRNGKey(1), i))
+                return st
+            st = jax.lax.fori_loop(0, n, body, state)
+            # force real execution on the relay: reduce one param leaf
+            return jnp.sum(st.params_g["final_conv"]["conv"]["kernel"])
+
+        float(run(state, x, mask))  # compile + sync
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(run(state, x, mask))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_small, t_large = loop_time(2), loop_time(6)
+    per_step = (t_large - t_small) / 4.0
+    steps_per_sec = 1.0 / per_step
+    print(json.dumps({
+        "metric": "xlstm_hved_train_step_128cubed",
+        "value": round(steps_per_sec, 3),
+        "unit": "G+D train steps/sec/chip (128^3, batch 1, bf16 D)",
+        "vs_baseline": round(steps_per_sec * R3_STEP_SECONDS, 3),
+        "baseline_uncertainty": "baseline = round-3 measured 281 ms/step",
+    }), flush=True)
+
+
+_DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "pred": 1,
+                "s8": 1, "u8": 1, "f64": 8, "s64": 8}
+
+
+def _shape_bytes(stext):
+    import re
+    total = 0
+    for m in re.finditer(r"(\w+)\[([\d,]*)\]", stext):
+        dt, dims = m.group(1), m.group(2)
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def hlo_traffic_bytes(compiled_text):
+    """Estimated HBM bytes moved by one execution: sum of operand + output
+    bytes over every top-level instruction of the ENTRY computation (the
+    traffic model of scripts/hlo_analysis.py; fusion-internal intermediates
+    stay in VMEM and are correctly excluded)."""
+    import re
+    entry = (compiled_text.split("ENTRY ")[1]
+             if "ENTRY " in compiled_text else compiled_text)
+    total = 0
+    for line in entry.splitlines():
+        line = line.strip()
+        m = re.match(r"%?([\w.\-]+) = ((?:\([^)]*\)|[\w\[\]{},\d]+)) "
+                     r"(fusion|copy|convolution|transpose|bitcast|"
+                     r"all-reduce|custom-call|reduce|concatenate|dot)\(",
+                     line)
+        if not m:
+            continue
+        args = line[m.end():].split(", kind=")[0].split(", calls=")[0]
+        total += _shape_bytes(m.group(2)) + _shape_bytes(args)
+    return total
+
+
 def main():
     from xlstm_hved_tpu.models import find_model_using_name
     from xlstm_hved_tpu.utils.subsets import SUBSET_MASKS
@@ -112,11 +211,22 @@ def main():
     keep = jnp.asarray(SUBSET_MASKS[14])
 
     bench_protocol(model, variables)
+    bench_train_step(model)
 
     def one(xi):
         out = model.apply(variables, xi, keep=keep, recon=True,
                           deterministic=True)
         return jnp.mean(out.seg) + jnp.mean(out.recon)
+
+    # achieved-bandwidth context for the primary line (round-3 VERDICT
+    # Weak #6): estimated HBM traffic of ONE forward from the optimized HLO
+    def raw(xi):
+        out = model.apply(variables, xi, keep=keep, recon=True,
+                          deterministic=True)
+        return out.seg, out.recon
+
+    traffic_gb = hlo_traffic_bytes(
+        jax.jit(raw).lower(x0).compile().as_text()) / 1e9
 
     def loop_time(n):
         @jax.jit
@@ -141,12 +251,18 @@ def main():
     vols_per_sec = shape[0] / per_volume
     target = (TARGET_MULTIPLIER * A100_REFERENCE_VOLS_PER_SEC
               / CHIPS_IN_TARGET_POD)  # per-chip share of the 5x-pod target
+    V5E_HBM_PEAK_GBPS = 819.0  # v5e: 16 GB HBM2 @ 819 GB/s
+    achieved_gbps = traffic_gb / per_volume
     print(json.dumps({
         "metric": "xlstm_hved_seg_recon_inference_128cubed",
         "value": round(vols_per_sec, 3),
         "unit": "volumes/sec/chip",
         "vs_baseline": round(vols_per_sec / target, 3),
         "baseline_uncertainty": BASELINE_UNCERTAINTY,
+        "hlo_traffic_gb_per_volume": round(traffic_gb, 3),
+        "achieved_hbm_gbps": round(achieved_gbps, 1),
+        "pct_of_v5e_hbm_peak": round(100 * achieved_gbps / V5E_HBM_PEAK_GBPS,
+                                     1),
     }))
 
 

@@ -80,12 +80,52 @@ def timed(step, S: int, n_small: int, n_large: int):
     return (t_l - t_s) / (n_large - n_small)
 
 
+def gradcheck():
+    """On-chip numerical validation of the Mosaic-compiled fused backward
+    BEFORE any timing (round-3 ADVICE: every gradient-parity test runs with
+    interpret=True on CPU, so a real-TPU lowering bug — reversed index maps,
+    SMEM scalar carry, multi-output specs — would silently corrupt training
+    gradients). Compares value_and_grad w.r.t. ALL FIVE inputs, fused kernel
+    vs the scan VJP, on the compiled backend; includes a non-chunk-multiple
+    S to cover the padding path."""
+    for S in (2000, 6144):
+        r = np.random.RandomState(1)
+        q = jnp.asarray(r.randn(B, NH, S, DH), jnp.float32)
+        k = jnp.asarray(r.randn(B, NH, S, DH), jnp.float32)
+        v = jnp.asarray(r.randn(B, NH, S, DH), jnp.float32)
+        ig = jnp.asarray(r.randn(B, NH, S) * 0.5, jnp.float32)
+        fg = jnp.asarray(3 + 3 * r.rand(B, NH, S), jnp.float32)
+
+        def loss(mode, *args):
+            f = functools.partial(mlstm_pallas, chunk_size=CHUNK,
+                                  bwd_mode=mode)
+            return jnp.sum(jnp.tanh(f(*args)))
+
+        worst = 0.0
+        for mode in ("fused",):
+            gf = jax.jit(jax.grad(functools.partial(loss, "fused"),
+                                  argnums=(0, 1, 2, 3, 4)))(q, k, v, ig, fg)
+            gs = jax.jit(jax.grad(functools.partial(loss, "scan"),
+                                  argnums=(0, 1, 2, 3, 4)))(q, k, v, ig, fg)
+            for a, b in zip(gf, gs):
+                err = float(jnp.max(jnp.abs(a - b) / (1.0 + jnp.abs(b))))
+                worst = max(worst, err)
+        print(json.dumps({"S": S, "gradcheck_fused_vs_scan_max_scaled_err":
+                          round(worst, 8),
+                          "backend": jax.default_backend()}), flush=True)
+        assert worst < 1e-3, (
+            f"fused backward disagrees with the scan VJP on "
+            f"{jax.default_backend()} at S={S}: {worst}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--short", action="store_true",
                     help="fewer loop iterations (smoke)")
     args = ap.parse_args()
     n_small, n_large = (2, 6) if args.short else (4, 20)
+
+    gradcheck()
 
     for S in (6144, 32768):
         for backward in (False, True):

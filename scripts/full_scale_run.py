@@ -61,22 +61,26 @@ def main():
     ap.add_argument("--model_name", default="XLSTM_HVED")
     ap.add_argument("--pretrain_epochs", type=int, default=10)
     ap.add_argument("--train_epochs", type=int, default=40)
-    ap.add_argument("--n_train", type=int, default=32)
-    ap.add_argument("--n_valid", type=int, default=8)
+    # None sentinels (not sys.argv sniffing, which misses the --flag=value
+    # and abbreviated-prefix forms argparse accepts): explicit flags always
+    # win; otherwise --quick shrinks the defaults.
+    ap.add_argument("--n_train", type=int, default=None)
+    ap.add_argument("--n_valid", type=int, default=None)
+    ap.add_argument("--compute_hd95", action="store_true",
+                    help="HD95 columns in the eval sweep (protocol default "
+                         "in the reference, test.py:101-102)")
     args = ap.parse_args()
 
     if args.quick:
-        # --quick shrinks shapes/epochs but still honors explicit
-        # --n_train/--n_valid (defaulting small) so the flags never
-        # silently no-op.
         shape, crop = (32, 48, 32), (16, 32, 16)
-        n_train = args.n_train if "--n_train" in sys.argv else 4
-        n_valid = args.n_valid if "--n_valid" in sys.argv else 2
+        n_train = args.n_train if args.n_train is not None else 4
+        n_valid = args.n_valid if args.n_valid is not None else 2
         pre_epochs, tr_epochs = 1, 2
         disc_kernel = 3
     else:
         shape, crop = (160, 224, 160), (128, 192, 128)
-        n_train, n_valid = args.n_train, args.n_valid
+        n_train = args.n_train if args.n_train is not None else 32
+        n_valid = args.n_valid if args.n_valid is not None else 8
         pre_epochs, tr_epochs = args.pretrain_epochs, args.train_epochs
         disc_kernel = 4
 
@@ -132,7 +136,8 @@ def main():
     with open(table_path, "w") as tf:
         stdout, sys.stdout = sys.stdout, _Tee(sys.stdout, tf)
         try:
-            cli_test.main(common + ["--ckpt", "best_dice", "--eval_recon"])
+            cli_test.main(common + ["--ckpt", "best_dice", "--eval_recon"]
+                          + (["--compute_hd95"] if args.compute_hd95 else []))
         finally:
             sys.stdout = stdout
     print(f"[phase 3/3] done in {time.time()-t2:.0f}s; artifacts in {RUNS}",

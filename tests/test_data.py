@@ -43,7 +43,7 @@ def test_synthetic_dataset_and_loader(tmp_path):
     img, labels, keep, bg = ds.load(0)
     assert img.shape == (16, 16, 16, 4)
     assert labels.shape == (16, 16, 16)
-    assert set(np.unique(labels)).issubset({0, 1, 2, 3})
+    assert set(np.unique(labels)).issubset({0, 1, 2, 3, 4})
     assert keep.any()
     batches = list(prefetch_loader(ds, batch_size=1, epochs=1, seed=1))
     assert len(batches) == 2

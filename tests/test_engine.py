@@ -13,6 +13,7 @@ from xlstm_hved_tpu.config import TrainConfig
 from xlstm_hved_tpu.engine.checkpoint import surgical_restore
 from xlstm_hved_tpu.engine.evaluate import (
     default_apply_fn,
+    make_hoisted_subset_sweep,
     label_volume_from_probs,
     make_sliding_window,
     make_subset_sweep,
@@ -248,3 +249,50 @@ def test_subset_sweep_any_chunk_size(setup):
         make_subset_sweep(apply_fn, patch=(S, S, S), subset_chunk=0)
     with pytest.raises(ValueError):
         make_subset_sweep(apply_fn, patch=(S, S, S), subset_chunk=16)
+
+
+def test_hoisted_sweep_equals_naive_flagship(setup):
+    """The hoisted sweep (prefix computed once per window) must match the
+    naive 15-forward sweep exactly. For the flagship (skip_return=True) the
+    hoist boundary is level 0 — the skr gate chain derives from the
+    subset-masked input (reference RA_HVED.py:543-552 + evaluation.py:306)
+    so deeper levels are keep-dependent. The correctness argument for the
+    hoisted prefix: a dropped stream's features only reach its PoE-masked
+    expert (ops/poe.py), so unzeroed inputs to dropped streams are
+    unobservable."""
+    model, _, state, _, _ = setup
+    variables = {"params": state.params_g}
+    if state.batch_stats_g:
+        variables["batch_stats"] = state.batch_stats_g
+    # overlapping windows: 24x16x16 volume, 16^3 patch -> 2 origins on axis 0
+    xv = jnp.asarray(np.random.RandomState(5).rand(1, 24, S, S, 4),
+                     jnp.float32)
+    naive = make_subset_sweep(default_apply_fn(model, recon=True),
+                              patch=(S, S, S), recon_channels=4)
+    hoisted = make_hoisted_subset_sweep(model, patch=(S, S, S),
+                                        recon_channels=4)
+    seg_n, rec_n = naive(variables, xv)
+    seg_h, rec_h = hoisted(variables, xv)
+    np.testing.assert_allclose(np.asarray(seg_h), np.asarray(seg_n),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rec_h), np.asarray(rec_n),
+                               atol=1e-6)
+
+
+def test_hoisted_sweep_equals_naive_no_skr():
+    """Without skip-return the ENTIRE multistream encoder+DRB stack hoists
+    (the round-3 VERDICT #2 rewrite, exact for this model family)."""
+    model = find_model_using_name("U_HVEDConvDuSFEmViLNet3D")
+    x = jnp.asarray(np.random.RandomState(0).rand(1, S, S, S, 4), jnp.float32)
+    variables = jax.jit(functools.partial(model.init, deterministic=True))(
+        {"params": jax.random.PRNGKey(0), "latent": jax.random.PRNGKey(1)}, x)
+    naive = make_subset_sweep(default_apply_fn(model, recon=True),
+                              patch=(S, S, S), recon_channels=4)
+    hoisted = make_hoisted_subset_sweep(model, patch=(S, S, S),
+                                        recon_channels=4)
+    seg_n, rec_n = naive(variables, x)
+    seg_h, rec_h = hoisted(variables, x)
+    np.testing.assert_allclose(np.asarray(seg_h), np.asarray(seg_n),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rec_h), np.asarray(rec_n),
+                               atol=1e-6)

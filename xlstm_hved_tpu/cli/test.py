@@ -20,6 +20,7 @@ from xlstm_hved_tpu.engine.checkpoint import CheckpointManager
 from xlstm_hved_tpu.engine.evaluate import (
     default_apply_fn,
     label_volume_from_probs,
+    make_hoisted_subset_sweep,
     make_subset_sweep,
 )
 from xlstm_hved_tpu.engine.train import create_train_state
@@ -63,10 +64,18 @@ def main(argv=None):
     variables = {"params": state.params_g}
     if state.batch_stats_g:
         variables["batch_stats"] = state.batch_stats_g
-    sweep = make_subset_sweep(
-        default_apply_fn(model, recon=args.eval_recon), patch=cfg.crop_size,
-        stride=cfg.crop_size, subset_chunk=5,
-        recon_channels=4 if args.eval_recon else 0)
+    model_cfg = getattr(model, "cfg", None)
+    if model_cfg is not None and model_cfg.mvae and not model_cfg.fusion:
+        # hoisted sweep: the subset-invariant forward prefix runs once per
+        # window instead of 15x (exact — tests/test_engine.py)
+        sweep = make_hoisted_subset_sweep(
+            model, patch=cfg.crop_size, stride=cfg.crop_size,
+            recon_channels=4 if args.eval_recon else 0)
+    else:
+        sweep = make_subset_sweep(
+            default_apply_fn(model, recon=args.eval_recon),
+            patch=cfg.crop_size, stride=cfg.crop_size, subset_chunk=5,
+            recon_channels=4 if args.eval_recon else 0)
 
     n_sub = len(SUBSETS_MODALITIES)
     dice_sums = np.zeros((n_sub, 3))

@@ -44,9 +44,10 @@ from xlstm_hved_tpu.utils.logging import CSVLogger, RunningAverage, profiler_tra
 
 CSV_FIELDS = [
     "Epoch", "Train_Loss", "Train_dice", "Train_wt_dice", "Train_tc_dice",
-    "Train_ec_dice", "Valid_Loss", "Valid_dice", "Valid_wt_dice",
+    "Train_ec_dice", "Train_recon", "Train_kld", "Train_g_gan",
+    "Train_loss_d", "Valid_Loss", "Valid_dice", "Valid_wt_dice",
     "Valid_tc_dice", "Valid_ec_dice", "Valid_wt_dice_m", "Valid_tc_dice_m",
-    "Valid_ec_dice_m",
+    "Valid_ec_dice_m", "Valid_PSNR_f", "Valid_PSNR_m",
 ]
 
 
@@ -105,7 +106,8 @@ def main(argv=None):
         for epoch in range(epoch_start, args.num_epochs + 1):
             t0 = time.perf_counter()
             tr = {k: RunningAverage() for k in
-                  ("loss", "train_dice", "wt_dice", "tc_dice", "ec_dice")}
+                  ("loss", "train_dice", "wt_dice", "tc_dice", "ec_dice",
+                   "recon", "kld", "g_gan", "loss_d")}
             for items in prefetch_loader(trainset, args.train_batch,
                                          shuffle=True, seed=args.seed + epoch,
                                          shard=data_shard):
@@ -125,7 +127,7 @@ def main(argv=None):
 
             va = {k: RunningAverage() for k in
                   ("vloss", "dice", "wt_dice", "tc_dice", "ec_dice",
-                   "wt_dice_m", "tc_dice_m", "ec_dice_m")}
+                   "wt_dice_m", "tc_dice_m", "ec_dice_m", "psnr_f", "psnr_m")}
             did_validate = epoch < 5 or (epoch + 1) % args.validate_every == 0
             if did_validate:
                 for items in prefetch_loader(validset, args.valid_batch,
@@ -158,6 +160,8 @@ def main(argv=None):
                 "Train_wt_dice": trg["wt_dice"],
                 "Train_tc_dice": trg["tc_dice"],
                 "Train_ec_dice": trg["ec_dice"],
+                "Train_recon": trg["recon"], "Train_kld": trg["kld"],
+                "Train_g_gan": trg["g_gan"], "Train_loss_d": trg["loss_d"],
             }
             if did_validate:
                 row.update({
@@ -168,9 +172,12 @@ def main(argv=None):
                     "Valid_wt_dice_m": vag["wt_dice_m"],
                     "Valid_tc_dice_m": vag["tc_dice_m"],
                     "Valid_ec_dice_m": vag["ec_dice_m"],
+                    "Valid_PSNR_f": vag["psnr_f"],
+                    "Valid_PSNR_m": vag["psnr_m"],
                 })
             csvlog.append(row)
-            vtxt = (f"vloss {vloss:.4f} vdice {vdice:.4f}"
+            vtxt = (f"vloss {vloss:.4f} vdice {vdice:.4f} "
+                    f"PSNR_m {vag['psnr_m']:.2f}"
                     if did_validate else "no-val")
             print(f"Epoch [{epoch}/{args.num_epochs}] "
                   f"loss {trg['loss']:.4f} dice {trg['train_dice']:.4f} "

@@ -167,6 +167,160 @@ def make_subset_sweep(
     return sweep_with_recon
 
 
+def make_hoisted_subset_sweep(
+    model,
+    patch: Sequence[int],
+    stride: Optional[Sequence[int]] = None,
+    out_channels: int = 3,
+    recon_channels: int = 0,
+):
+    """15-subset sweep with the subset-invariant forward prefix hoisted out
+    of the subset loop (round-3 VERDICT #2; replaces the 15 full forwards of
+    /root/reference/test.py:78-102 per window with 1 prefix + 15 suffixes).
+
+    Why this is exact (tested in tests/test_engine.py): a dropped modality's
+    stream features only ever reach its own product-of-experts expert, which
+    the keep-mask removes from the product entirely (ops/poe.py) — so kept
+    streams see identical inputs whether the dropped channels were zeroed or
+    not, and the prefix can run ONCE on the full input. The hoist boundary
+    is model-dependent: the full multistream encoder+DRB stack for non-skr
+    MVAE models, level 0 only for skip-return models (the skr gate chain is
+    derived from the subset-masked input and feeds every kept stream's
+    deeper encoder levels — see models/hved.py mode notes).
+
+    Returns sweep(variables, x) -> seg (15, B, D, H, W, C) [, recon].
+    """
+    body = _hoisted_sweep_body(model, patch, stride, out_channels,
+                               recon_channels)
+    keeps = jnp.asarray(SUBSET_MASKS)  # (15, 4)
+
+    @jax.jit
+    def sweep(variables, x):
+        return body(variables, x, keeps)
+
+    return sweep
+
+
+def _hoisted_sweep_body(model, patch, stride, out_channels, recon_channels):
+    """Unjitted hoisted-sweep kernel parameterized by the keep-table, shared
+    by the single-device and mesh-sharded sweeps.
+
+    Returns body(variables, x, keeps (S, 4)) -> seg (S, B, *vol, C) [, rec].
+    """
+    patch = tuple(patch)
+    stride = tuple(stride) if stride is not None else patch
+    recon = recon_channels > 0
+
+    def body(variables, x, keeps):
+        n_subsets = keeps.shape[0]
+        B = x.shape[0]
+        vol = x.shape[1:4]
+        grid = jnp.asarray(origin_grid(vol, patch, stride))
+
+        seg_sum = jnp.zeros((n_subsets, B, *vol, out_channels), jnp.float32)
+        rec_sum = (jnp.zeros((n_subsets, B, *vol, recon_channels), jnp.float32)
+                   if recon else None)
+        count = jnp.zeros((1, *vol, 1), jnp.float32)
+        ones_patch = jnp.ones((1, *patch, 1), jnp.float32)
+
+        def step(carry, origin):
+            seg_sum, rec_sum, count = carry
+            d, h, w = origin[0], origin[1], origin[2]
+            crop = jax.lax.dynamic_slice(
+                x, (0, d, h, w, 0), (B, *patch, x.shape[-1]))
+            pref = model.apply(variables, crop, mode="prefix",
+                               deterministic=True)
+
+            def one_subset(keep):
+                crop_m = crop * keep.reshape((1,) * 4 + (-1,)).astype(
+                    crop.dtype)
+                out = model.apply(variables, crop_m, keep=keep,
+                                  mode="suffix", prefix=pref, recon=recon,
+                                  deterministic=True)
+                rec = (out.recon.astype(jnp.float32) if recon
+                       else jnp.zeros((), jnp.float32))
+                return out.seg.astype(jnp.float32), rec
+
+            segs, recs = jax.lax.map(one_subset, keeps)
+
+            cur = jax.lax.dynamic_slice(
+                seg_sum, (0, 0, d, h, w, 0),
+                (n_subsets, B, *patch, out_channels))
+            seg_sum = jax.lax.dynamic_update_slice(
+                seg_sum, cur + segs, (0, 0, d, h, w, 0))
+            if recon:
+                curr = jax.lax.dynamic_slice(
+                    rec_sum, (0, 0, d, h, w, 0),
+                    (n_subsets, B, *patch, recon_channels))
+                rec_sum = jax.lax.dynamic_update_slice(
+                    rec_sum, curr + recs, (0, 0, d, h, w, 0))
+            curc = jax.lax.dynamic_slice(
+                count, (0, d, h, w, 0), (1, *patch, 1))
+            count = jax.lax.dynamic_update_slice(
+                count, curc + ones_patch, (0, d, h, w, 0))
+            return (seg_sum, rec_sum, count), None
+
+        (seg_sum, rec_sum, count), _ = jax.lax.scan(
+            step, (seg_sum, rec_sum, count), grid)
+        seg = seg_sum / count
+        if recon:
+            return seg, rec_sum / count
+        return seg
+
+    return body
+
+
+def make_sharded_subset_sweep(
+    model,
+    mesh,
+    patch: Sequence[int],
+    stride: Optional[Sequence[int]] = None,
+    out_channels: int = 3,
+    recon_channels: int = 0,
+):
+    """15-subset sweep sharded over the mesh 'data' axis (round-3 VERDICT
+    #5; BASELINE.md north star "15-subset eval as a single sharded device
+    pass" on a v5e-8, replacing the reference's sequential per-subset loop
+    /root/reference/test.py:78-102 across chips instead of within one).
+
+    Subsets are padded to a multiple of the data-axis size with repeats of
+    the full subset and distributed via shard_map: each device runs the
+    hoisted sweep for its local keep-masks (the per-window prefix is
+    replicated compute, ~10-20% of a subset's cost); outputs gather on the
+    subset axis with no cross-device communication inside the pass.
+
+    Equality vs the single-device sweep is asserted on a virtual-8-CPU mesh
+    in tests/test_parallel.py and the multichip dryrun.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape["data"]
+    n_subsets = len(SUBSET_MASKS)
+    n_pad = (-n_subsets) % n_dev
+    table = np.concatenate(
+        [SUBSET_MASKS, np.repeat(SUBSET_MASKS[-1:], n_pad, axis=0)])
+    keeps = jnp.asarray(table)  # (15 + n_pad, 4)
+    body = _hoisted_sweep_body(model, patch, stride, out_channels,
+                               recon_channels)
+    recon = recon_channels > 0
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P("data")),
+        out_specs=(P("data"), P("data")) if recon else P("data"),
+        check_rep=False)
+
+    @jax.jit
+    def sweep(variables, x):
+        out = sharded(variables, x, keeps)
+        if recon:
+            return out[0][:n_subsets], out[1][:n_subsets]
+        return out[:n_subsets]
+
+    return sweep
+
+
 def default_apply_fn(model, *, recon: bool = False):
     """Standard eval-mode apply for HVEDFusionNet (valid=True semantics:
     deterministic latents, /root/reference/RA_HVED.py:741-747)."""

@@ -57,6 +57,18 @@ class HVEDOutput(NamedTuple):
     recon: Optional[jnp.ndarray]          # (B, D, H, W, 4)
 
 
+class HoistedPrefix(NamedTuple):
+    """Subset-invariant forward prefix for the hoisted 15-subset sweep
+    (mode="prefix"/"suffix" below). Contains the per-level expert stacks of
+    the hoisted multistream levels and, when more multistream levels remain
+    (skip-return models hoist only level 0), the folded stream tensor at the
+    hoist boundary."""
+
+    mu: Tuple[jnp.ndarray, ...]
+    logvar: Tuple[jnp.ndarray, ...]
+    xs: Optional[jnp.ndarray]
+
+
 class HVEDFusionNet(nn.Module):
     cfg: HVEDConfig
 
@@ -71,7 +83,24 @@ class HVEDFusionNet(nn.Module):
         recon: bool = False,
         deterministic: bool = False,
         train: bool = False,
+        mode: str = "full",
+        prefix: Optional[HoistedPrefix] = None,
     ) -> HVEDOutput:
+        # mode="prefix"/"suffix" split the forward at the subset-invariance
+        # boundary for the hoisted 15-subset sweep (engine/evaluate.py):
+        #   prefix(x_full)  -> HoistedPrefix: everything that does NOT depend
+        #                      on the modality keep-mask. A dropped stream's
+        #                      features only ever reach its own PoE expert,
+        #                      which the keep-mask zeroes out exactly
+        #                      (ops/poe.py), so the prefix runs on the FULL
+        #                      input and needs no per-subset variants.
+        #   suffix(x_masked, keep, prefix) -> HVEDOutput for one subset.
+        # For skip-return models the hoist stops after level 0: the skr gate
+        # chain derives from the subset-MASKED input (x0_init -> skr_att,
+        # /root/reference/RA_HVED.py:543-552 with eval masking at
+        # evaluation.py:306-307) and multiplies every kept stream's encoder
+        # input at levels >= 1, so deeper encoder levels are genuinely
+        # subset-dependent — a full-encoder hoist is NOT exact there.
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         M = cfg.multi_stream
@@ -94,6 +123,20 @@ class HVEDFusionNet(nn.Module):
                 f"2^num_levels = {div} for the MVAE x2-upsample path "
                 f"(same constraint as the reference's exact-x2 interpolate, "
                 f"RA_HVED.py:596-598); pad or crop the input")
+
+        n_ms = min(cfg.fusion_level, levels)  # multistream levels
+        if mode not in ("full", "prefix", "suffix"):
+            raise ValueError(f"unknown mode {mode!r}")
+        if mode != "full":
+            if not cfg.mvae or cfg.fusion:
+                raise ValueError(
+                    "hoisted prefix/suffix modes require an MVAE model "
+                    "(fusion/plain multi-stream paths consume unmasked "
+                    "stream features directly)")
+            if mode == "suffix" and prefix is None:
+                raise ValueError("mode='suffix' needs the HoistedPrefix")
+        # levels whose encoder+DRB are subset-invariant (hoistable)
+        hoist_ms = 0 if mode == "full" else (1 if cfg.skip_return else n_ms)
 
         if keep is None:
             if instance_missing:
@@ -135,19 +178,76 @@ class HVEDFusionNet(nn.Module):
         # lowering (146 ms -> 5.6 ms per full-res conv) and quadruples lane
         # utilization of every elementwise op.
         # The Initial Block: per-stream 1x1 conv (RA_HVED.py:345-349); input
-        # channel m IS stream m.
-        xs = BlockDiagConv(M, enc_f[0], kernel_size=1, dtype=dtype,
-                           name="init_blocks")(x_in)
+        # channel m IS stream m. In suffix mode the hoisted levels were
+        # already computed; the stream tensor resumes at the hoist boundary.
+        if mode == "suffix":
+            xs = prefix.xs
+        else:
+            xs = BlockDiagConv(M, enc_f[0], kernel_size=1, dtype=dtype,
+                               name="init_blocks")(x_in)
 
         mu_list, logvar_list = [], []
         rec_feats = []  # deep -> shallow after final insert-order
         seg_feats_nonmvae = []
         skr_feat = None
-        rng_needed = cfg.mvae and not deterministic
+        rng_needed = cfg.mvae and not deterministic and mode != "prefix"
         latent_key = self.make_rng("latent") if rng_needed else None
+
+        def latent_stage(level, mu_e, logvar_e):
+            """Subset-DEPENDENT tail of one MVAE level: PoE over the kept
+            experts -> reparameterize -> VU upsample (RA_HVED.py:588-603)."""
+            pd_mu, pd_logvar = product_of_experts(mu_e, logvar_e, keep_b)
+            if rng_needed:
+                sub_key = jax.random.fold_in(latent_key, level)
+            else:
+                sub_key = None
+            z = reparametrize(sub_key, pd_mu, pd_logvar,
+                              deterministic=deterministic)
+            z = z.astype(dtype)
+            if cfg.mvae_reduction:
+                # VU: 1x1 conv -> x2 trilinear -> depthwise conv
+                # (RA_HVED.py:401-410, 598-603)
+                z = BasicConv(dec_f[level], 1, dtype=dtype,
+                              name=f"vu_{level}")(z)
+                d, h, w = z.shape[1:4]
+                z = resize_trilinear(z, (2 * d, 2 * h, 2 * w))
+                z = BasicConv(dec_f[level], 3, groups=dec_f[level],
+                              dtype=dtype, name=f"conv_block_{level}")(z)
+            return z
+
+        def skr_advance(skr_feat, level):
+            """skip-return feature chain update (RA_HVED.py:617-621):
+            level 0 initializes from the raw input via x0_init; each later
+            level advances the chain with its own pooled encoder (E1: 4->8,
+            E2: 8->16, E3: 16->32 for the flagship)."""
+            if skr_feat is None:
+                return Conv1x1(enc_f[0], dtype=dtype, name="x0_init")(x0)
+            return _EncStage(
+                features=enc_f[level],
+                num_block=cfg.num_block[level],
+                apply_pooling=True,
+                basic_module=cfg.basic_module,
+                order=cfg.layer_order,
+                num_groups=cfg.num_groups,
+                dtype=dtype,
+                name=f"skr_encoder_{level}",
+            )(skr_feat, train)
 
         for level in range(levels):
             multistream_level = level <= cfg.fusion_level - 1
+            in_prefix = multistream_level and level < hoist_ms
+
+            if mode == "suffix" and in_prefix:
+                # hoisted level: encoder+DRB came precomputed; run only the
+                # keep-dependent latent tail and the skr-chain bootstrap.
+                mu_e, logvar_e = prefix.mu[level], prefix.logvar[level]
+                mu_list.append(mu_e)
+                logvar_list.append(logvar_e)
+                rec_feats.insert(0, latent_stage(level, mu_e, logvar_e))
+                if cfg.skip_return:
+                    skr_feat = skr_advance(skr_feat, level)
+                continue
+
             if multistream_level:
                 # skip-return gating of every stream (RA_HVED.py:549-552);
                 # the gate is shared across streams, so it broadcasts over
@@ -203,25 +303,9 @@ class HVEDFusionNet(nn.Module):
                         mod_mu.astype(jnp.float32), mod_logvar.astype(jnp.float32))
                     mu_list.append(mu_e)
                     logvar_list.append(logvar_e)
-
-                    pd_mu, pd_logvar = product_of_experts(mu_e, logvar_e, keep_b)
-                    if rng_needed:
-                        sub_key = jax.random.fold_in(latent_key, level)
-                    else:
-                        sub_key = None
-                    z = reparametrize(sub_key, pd_mu, pd_logvar,
-                                      deterministic=deterministic)
-                    z = z.astype(dtype)
-                    if cfg.mvae_reduction:
-                        # VU: 1x1 conv -> x2 trilinear -> depthwise conv
-                        # (RA_HVED.py:401-410, 598-603)
-                        z = BasicConv(dec_f[level], 1, dtype=dtype,
-                                      name=f"vu_{level}")(z)
-                        d, h, w = z.shape[1:4]
-                        z = resize_trilinear(z, (2 * d, 2 * h, 2 * w))
-                        z = BasicConv(dec_f[level], 3, groups=dec_f[level],
-                                      dtype=dtype, name=f"conv_block_{level}")(z)
-                    rec_feats.insert(0, z)
+                    if mode != "prefix":
+                        rec_feats.insert(
+                            0, latent_stage(level, mu_e, logvar_e))
                 else:
                     # plain multi-stream concat (kept for completeness)
                     feats = [f * keep_b[:, m, None, None, None, None].astype(dtype)
@@ -229,27 +313,22 @@ class HVEDFusionNet(nn.Module):
                     rec_feats.insert(0, jnp.concatenate(feats, axis=-1))
                     seg_feats_nonmvae.insert(0, feats)
 
-                # skip-return feature chain update (RA_HVED.py:617-621):
-                # level 0 initializes from the raw input via x0_init; each
-                # later level advances the chain with its own pooled encoder
-                # (E1: 4->8, E2: 8->16, E3: 16->32 for the flagship).
-                if cfg.skip_return:
-                    if skr_feat is None:
-                        skr_feat = Conv1x1(enc_f[0], dtype=dtype,
-                                           name="x0_init")(x0)
-                    else:
-                        skr_feat = _EncStage(
-                            features=enc_f[level],
-                            num_block=cfg.num_block[level],
-                            apply_pooling=True,
-                            basic_module=cfg.basic_module,
-                            order=cfg.layer_order,
-                            num_groups=cfg.num_groups,
-                            dtype=dtype,
-                            name=f"skr_encoder_{level}",
-                        )(skr_feat, train)
+                if cfg.skip_return and mode != "prefix":
+                    skr_feat = skr_advance(skr_feat, level)
             else:
-                # single-stream deeper levels (fusion_level < num_levels)
+                # Single-stream deeper levels (fusion_level < num_levels).
+                # NOTE: the reference's forward cannot execute this arm AT
+                # ALL — it re-inserts the last multistream feature instead of
+                # the deep encoder output (RA_HVED.py:605-621), which
+                # contradicts its own constructor's channel bookkeeping
+                # (decoder convs sized for the deep output) and raises a
+                # RuntimeError / mViL dim assert on every variant (pinned by
+                # tests/test_torch_parity.py::test_reference_fusion_level3_
+                # forward_is_defective). This implements the architecture the
+                # reference CONSTRUCTS: the deep encoder output feeds the
+                # decoder, and the skr chain advances through deep levels
+                # (skr_encoders are built for every level at matching widths,
+                # RA_HVED.py:369-384).
                 top = rec_feats[0]
                 top = _EncStage(
                     features=dec_f[level],
@@ -262,6 +341,15 @@ class HVEDFusionNet(nn.Module):
                     name=f"encoders_{level}",
                 )(top, train)
                 rec_feats.insert(0, top)
+                if cfg.skip_return and mode != "prefix":
+                    skr_feat = skr_advance(skr_feat, level)
+
+            if mode == "prefix" and level == hoist_ms - 1:
+                # hoist boundary reached: hand back the expert stacks (and,
+                # when deeper multistream levels remain, the stream tensor).
+                return HoistedPrefix(
+                    mu=tuple(mu_list), logvar=tuple(logvar_list),
+                    xs=xs if hoist_ms < n_ms else None)
 
         # mid-ViL over bottleneck tokens (+skr) (RA_HVED.py:623-626).
         # NOTE: the reference only applies mViL when skip_return is also on;

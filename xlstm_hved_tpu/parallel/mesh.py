@@ -31,9 +31,12 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     jax.distributed.initialize into a silent no-op (caught by
     tests/test_multiprocess.py); the already-initialized check reads the
     distributed client state directly instead."""
-    from jax._src import distributed as _dist
-    if getattr(_dist.global_state, "client", None) is not None:
-        return  # already initialized
+    try:  # private JAX API with no stability guarantee — probe defensively
+        from jax._src import distributed as _dist
+        if getattr(_dist.global_state, "client", None) is not None:
+            return  # already initialized
+    except Exception:
+        pass  # fall through: initialize() below tolerates double-init
     kwargs = {}
     if coordinator_address:
         kwargs = dict(coordinator_address=coordinator_address,

@@ -269,8 +269,6 @@ def hved_params_from_torch(sd: Dict[str, np.ndarray], cfg: HVEDConfig
         raise NotImplementedError(
             "torch import currently requires the MVAE+reduction zoo config "
             "(the fusion family is mapped by fusion_params_from_torch)")
-    if cfg.fusion_level < cfg.num_levels:
-        raise NotImplementedError("single-stream deep levels not mapped yet")
     bm = cfg.basic_module
     ext = bm == "ext_resnet"
 
@@ -282,7 +280,22 @@ def hved_params_from_torch(sd: Dict[str, np.ndarray], cfg: HVEDConfig
 
     p["init_blocks"] = _stacked_conv(sd, lambda m: f"init_blocks.{m}.0", M)
 
+    n_ms = min(cfg.fusion_level, L)  # multistream levels
     for i in range(L):
+        if i >= n_ms:
+            # Single-stream deep level (fusion_level < num_levels): the
+            # reference stores a bare Encoder at encoders.{i}
+            # (RA_HVED.py:338-346,414-418). Its construction-time DRB/VU/
+            # conv_block twins at this level (DRBs.{i}.0, VU_blocks.{i},
+            # conv_blocks.{i}) are unreachable by the reference forward
+            # (only multistream levels enter the MVAE block,
+            # RA_HVED.py:546-603) and have no counterpart here.
+            blocks = {}
+            for b in range(cfg.num_block[i]):
+                blocks[f"block{b}"] = _basic_plain(
+                    sd, f"encoders.{i}.basic_module.{b}", bm)
+            p[f"encoders_{i}"] = blocks
+            continue
         blocks = {}
         for b in range(cfg.num_block[i]):
             blocks[f"block{b}"] = _basic_folded(
@@ -352,9 +365,13 @@ def hved_params_from_torch(sd: Dict[str, np.ndarray], cfg: HVEDConfig
         # params) and is not read.
         p["x0_init"] = _conv(sd, "x0_init.0")
         for level in range(1, L):
-            gp, gs = _skr_gate(sd, f"skr_att.{L - level}")
-            p[f"skr_att_{level}"] = gp
-            stats[f"skr_att_{level}"] = gs
+            if level < n_ms:
+                # gates only exist at multistream levels (the forward gates
+                # encoder streams, RA_HVED.py:549-552); deep single-stream
+                # levels advance the skr chain but apply no gate.
+                gp, gs = _skr_gate(sd, f"skr_att.{L - level}")
+                p[f"skr_att_{level}"] = gp
+                stats[f"skr_att_{level}"] = gs
             blocks = {}
             for b in range(cfg.num_block[level]):
                 blocks[f"block{b}"] = _double_conv_plain(
