@@ -248,6 +248,54 @@ def test_forward_parity_missing_modality_subset():
     assert seg_d.mean() < 2e-5, seg_d.mean()
 
 
+@pytest.mark.slow
+def test_flagship_parity_all_15_subsets():
+    """Bug-vs-pathology discriminator for the round-3 protocol anomaly
+    (subset 12, keep=(T1c,T2,FLAIR), collapsed to Dice 0.14 while every
+    neighboring subset scored >=0.71): with shared transplanted weights,
+    run the flagship forward through the reference and this framework for
+    EVERY one of the 15 keep masks (the reference eval loop, test.py:78-102)
+    and demand seg+recon equality. All 15 agreeing — subset 12 included —
+    proves the PoE masking / expert-drop machinery (ops/poe.py, reference
+    RA_HVED.py:576-594) is exact for every subset, pinning the committed
+    run's collapse on training dynamics rather than a fusion bug."""
+    import functools
+
+    ra = load_reference()
+    tmodel, jmodel, variables = _build_pair("XLSTM_HVED", "XLSTM_HVED")
+    fwd = jax.jit(functools.partial(jmodel.apply, deterministic=True,
+                                    seg=True, recon=True))
+
+    errs = []
+    for idx in range(15):
+        keep = np.zeros(4, bool)
+        keep[list(ra.SUBSETS_MODALITIES[idx])] = True
+        rng = np.random.RandomState(100 + idx)
+        x_t = rng.rand(*SHAPE).astype(np.float32)
+        with torch.no_grad():
+            t_seg, _, t_rec = tmodel(torch.from_numpy(x_t),
+                                     subset_idx_list=[idx], valid=True,
+                                     seg=True, recon=True)
+        if isinstance(t_rec, list):  # srdecoder path: per-stream list
+            t_rec = torch.cat(t_rec, dim=1)
+        out = fwd(variables, jnp.asarray(np.moveaxis(x_t, 1, -1)),
+                  keep=jnp.asarray(keep))
+        seg_d = np.abs(_to_channels_last(t_seg.numpy()) - np.asarray(out.seg))
+        rec_d = np.abs(_to_channels_last(t_rec.numpy()) - np.asarray(out.recon))
+        errs.append((idx, seg_d.max(), seg_d.mean(), rec_d.max(),
+                     rec_d.mean()))
+    # All 15 measured before asserting, so a failure message carries the full
+    # per-subset error table. Mean budgets are 2x the single-subset tests':
+    # fewer PoE experts condition the latent differently per subset and the
+    # fp32 noise floor varies ~2x across keep masks (same error class as the
+    # calibration note in test_forward_parity_conv_family, not a defect).
+    worst = [max(e[i] for e in errs) for i in range(1, 5)]
+    assert worst[0] < 1.5e-3, (worst, errs)
+    assert worst[1] < 4e-5, (worst, errs)
+    assert worst[2] < 5e-3, (worst, errs)
+    assert worst[3] < 2e-4, (worst, errs)
+
+
 def _build_uxlstm_ref(cls_name, module_name, conv_op_name, **kw):
     """Instantiate a reference UxLSTM net (UxLSTM/nnunetv2/nets/) on CPU."""
     import importlib
