@@ -136,7 +136,7 @@ def bench_train_step(model):
                 return st
             st = jax.lax.fori_loop(0, n, body, state)
             # force real execution on the relay: reduce one param leaf
-            return jnp.sum(st.params_g["final_conv"]["conv"]["kernel"])
+            return jnp.sum(st.params_g["final_conv"]["kernel"])
 
         float(run(state, x, mask))  # compile + sync
         times = []
