@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -54,6 +55,38 @@ def ensure_dataset(root: str, n_train: int, n_valid: int, shape) -> dict:
     return counts
 
 
+def run_cli(module: str, argv, tee_path: str | None = None,
+            retries: int = 1) -> None:
+    """Run one protocol phase as a bounded subprocess.
+
+    Process isolation is load-bearing, not hygiene: the tunneled-TPU relay
+    client retains a host-side copy of every uploaded buffer (~60 MB per
+    train step at the reference crop — measured 130 GB anon-rss after ~110
+    epochs, at which point the host kernel OOM-kills the process; the same
+    loop is RSS-flat on the CPU backend, so the retention is in the relay
+    frontend, not this code). Every phase resumes from its checkpoints, so
+    a relay transient gets `retries` fresh attempts.
+    """
+    cmd = [sys.executable, "-m", module, *map(str, argv)]
+    for attempt in range(retries + 1):
+        if tee_path is None:
+            rc = subprocess.run(cmd, check=False).returncode
+        else:
+            with open(tee_path, "w") as tf, subprocess.Popen(
+                    cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                    text=True) as p:
+                for line in p.stdout:
+                    sys.stdout.write(line)
+                    sys.stdout.flush()
+                    tf.write(line)
+                rc = p.wait()
+        if rc == 0:
+            return
+        print(f"[phase] {module} exited rc={rc} "
+              f"(attempt {attempt + 1}/{retries + 1})", flush=True)
+    raise subprocess.CalledProcessError(rc, cmd)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -69,7 +102,24 @@ def main():
     ap.add_argument("--compute_hd95", action="store_true",
                     help="HD95 columns in the eval sweep (protocol default "
                          "in the reference, test.py:101-102)")
+    ap.add_argument("--epoch_chunk", type=int, default=25,
+                    help="finetune epochs per training subprocess (bounds "
+                         "the relay client's host-buffer growth; see "
+                         "run_cli). 0 = one process for all epochs")
+    ap.add_argument("--inprocess", action="store_true",
+                    help="run phases in this process instead of "
+                         "subprocesses (implied by --quick: CPU smoke runs "
+                         "don't leak and save 3 interpreter+jax startups)")
+    ap.add_argument("--subprocess", dest="force_subprocess",
+                    action="store_true",
+                    help="force subprocess phases even with --quick (tests "
+                         "the chunked-resume orchestration itself)")
+    ap.add_argument("--out_root", default=RUNS,
+                    help="artifact root (default runs/fullscale); point "
+                         "elsewhere to smoke-test beside a live run")
     args = ap.parse_args()
+    runs = args.out_root
+    os.makedirs(runs, exist_ok=True)
 
     if args.quick:
         shape, crop = (32, 48, 32), (16, 32, 16)
@@ -84,7 +134,7 @@ def main():
         pre_epochs, tr_epochs = args.pretrain_epochs, args.train_epochs
         disc_kernel = 4
 
-    data_root = os.path.join(RUNS, "data")
+    data_root = os.path.join(runs, "data")
     counts = ensure_dataset(data_root, n_train, n_valid, shape)
 
     common = [
@@ -92,55 +142,76 @@ def main():
         "--valid_dir", os.path.join(data_root, "valid"),
         "--crop_size", *map(str, crop),
         "--model_name", args.model_name,
-        "--out_dir", RUNS,
+        "--out_dir", runs,
         "--disc_kernel", str(disc_kernel),
         "--remat",
         "--validate_every", "5",
     ]
 
-    from xlstm_hved_tpu.cli import pretrain as cli_pretrain
-    from xlstm_hved_tpu.cli import test as cli_test
-    from xlstm_hved_tpu.cli import train as cli_train
+    inprocess = ((args.inprocess or args.quick)
+                 and not args.force_subprocess)
 
     # cli/pretrain.py appends "_pretrain" to the checkpoint root itself
-    pre_dir = os.path.join(RUNS, f"{args.model_name}_pretrain")
+    pre_dir = os.path.join(runs, f"{args.model_name}_pretrain")
+    table_path = os.path.join(runs, "subset_table.txt")
+    test_argv = (common + ["--ckpt", "best_dice", "--eval_recon"]
+                 + (["--compute_hd95"] if args.compute_hd95 else []))
+
     t0 = time.time()
     print(f"[phase 1/3] MVAE pretrain {pre_epochs} epochs", flush=True)
-    cli_pretrain.main(common + ["--num_epochs", str(pre_epochs)])
+    if inprocess:
+        from xlstm_hved_tpu.cli import pretrain as cli_pretrain
+        cli_pretrain.main(common + ["--num_epochs", str(pre_epochs)])
+    else:
+        run_cli("xlstm_hved_tpu.cli.pretrain",
+                common + ["--num_epochs", str(pre_epochs)])
     t1 = time.time()
     print(f"[phase 1/3] done in {t1-t0:.0f}s", flush=True)
 
     print(f"[phase 2/3] adversarial finetune {tr_epochs} epochs", flush=True)
-    cli_train.main(common + [
-        "--num_epochs", str(tr_epochs),
-        "--pretrain_weights", pre_dir,
-    ])
+    train_argv = common + ["--num_epochs", str(tr_epochs),
+                           "--pretrain_weights", pre_dir]
+    if inprocess:
+        from xlstm_hved_tpu.cli import train as cli_train
+        cli_train.main(train_argv)
+    else:
+        chunk = args.epoch_chunk if args.epoch_chunk > 0 else tr_epochs
+        for stop in range(chunk, tr_epochs + chunk, chunk):
+            stop = min(stop, tr_epochs)
+            # each chunk resumes from the latest checkpoint; a chunk whose
+            # epochs are already done is a fast no-op
+            run_cli("xlstm_hved_tpu.cli.train",
+                    train_argv + ["--stop_after_epoch", str(stop)])
+            if stop == tr_epochs:
+                break
     t2 = time.time()
     print(f"[phase 2/3] done in {t2-t1:.0f}s", flush=True)
 
     print("[phase 3/3] 15-subset eval sweep", flush=True)
+    if inprocess:
+        from xlstm_hved_tpu.cli import test as cli_test
 
-    class _Tee:
-        def __init__(self, *streams):
-            self.streams = streams
+        class _Tee:
+            def __init__(self, *streams):
+                self.streams = streams
 
-        def write(self, s):
-            for st in self.streams:
-                st.write(s)
+            def write(self, s):
+                for st in self.streams:
+                    st.write(s)
 
-        def flush(self):
-            for st in self.streams:
-                st.flush()
+            def flush(self):
+                for st in self.streams:
+                    st.flush()
 
-    table_path = os.path.join(RUNS, "subset_table.txt")
-    with open(table_path, "w") as tf:
-        stdout, sys.stdout = sys.stdout, _Tee(sys.stdout, tf)
-        try:
-            cli_test.main(common + ["--ckpt", "best_dice", "--eval_recon"]
-                          + (["--compute_hd95"] if args.compute_hd95 else []))
-        finally:
-            sys.stdout = stdout
-    print(f"[phase 3/3] done in {time.time()-t2:.0f}s; artifacts in {RUNS}",
+        with open(table_path, "w") as tf:
+            stdout, sys.stdout = sys.stdout, _Tee(sys.stdout, tf)
+            try:
+                cli_test.main(test_argv)
+            finally:
+                sys.stdout = stdout
+    else:
+        run_cli("xlstm_hved_tpu.cli.test", test_argv, tee_path=table_path)
+    print(f"[phase 3/3] done in {time.time()-t2:.0f}s; artifacts in {runs}",
           flush=True)
     summary = {
         "crop": crop,
@@ -148,7 +219,7 @@ def main():
         "pretrain_epochs": pre_epochs, "train_epochs": tr_epochs,
         "wall_s": round(time.time() - t0, 1),
     }
-    with open(os.path.join(RUNS, "summary.json"), "w") as f:
+    with open(os.path.join(runs, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))
 

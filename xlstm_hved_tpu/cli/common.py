@@ -68,6 +68,15 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "only)")
     p.add_argument("--h5_path", type=str, default="",
                    help="HDF5 file for --dataset isles / brats_valid")
+    p.add_argument("--stop_after_epoch", type=int, default=0,
+                   help="stop the epoch loop after this epoch (0 = run to "
+                        "--num_epochs) WITHOUT shortening the LR horizon — "
+                        "resume-from-latest continues where it stopped. Lets "
+                        "an orchestrator run a long training as bounded "
+                        "process chunks (the tunneled-TPU relay client "
+                        "retains a host copy of every uploaded step batch, "
+                        "~60 MB/step at the reference crop, so a multi-hour "
+                        "single process is OOM-killed by the host kernel)")
     p.add_argument("--sdm", action="store_true",
                    help="add the boundary loss <seg, SDM(gt)> to the "
                         "generator objective (reference optional path, "

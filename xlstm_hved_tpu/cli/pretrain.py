@@ -73,7 +73,11 @@ def main(argv=None):
         model.apply, seg=False, recon=True, deterministic=True,
         instance_missing=True))
 
-    for epoch in range(epoch_start, args.num_epochs + 1):
+    # bounded process chunk (see --stop_after_epoch in cli/common.py)
+    end_epoch = (min(args.num_epochs, args.stop_after_epoch)
+                 if args.stop_after_epoch else args.num_epochs)
+
+    for epoch in range(epoch_start, end_epoch + 1):
         t0 = time.perf_counter()
         tr_loss = RunningAverage()
         for items in prefetch_loader(trainset, args.train_batch, shuffle=True,

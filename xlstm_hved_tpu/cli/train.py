@@ -101,9 +101,14 @@ def main(argv=None):
     csvlog = CSVLogger(f"{args.out_dir}/{args.model_name}/loss_and_metrics.csv",
                        CSV_FIELDS)
 
+    # bounded process chunk: stop (checkpointed) after --stop_after_epoch
+    # while the LR schedule keeps the full --num_epochs horizon
+    end_epoch = (min(args.num_epochs, args.stop_after_epoch)
+                 if args.stop_after_epoch else args.num_epochs)
+
     with mesh, profiler_trace(args.profile_dir or None):
         state = replicate(mesh, state)
-        for epoch in range(epoch_start, args.num_epochs + 1):
+        for epoch in range(epoch_start, end_epoch + 1):
             t0 = time.perf_counter()
             tr = {k: RunningAverage() for k in
                   ("loss", "train_dice", "wt_dice", "tc_dice", "ec_dice",
