@@ -93,10 +93,14 @@ def run_torch(xt, mt, xv, mv, pre_epochs, ft_epochs, rows):
 
     def build(shared_recon):
         torch.manual_seed(0 if shared_recon else 1)
-        return ra.XLSTM_HVED(1, 3, multi_stream=4, fusion_level=4,
-                             shared_recon=shared_recon, recon_skip=True,
-                             MVAE_reduction=True, final_sigmoid=True,
-                             f_maps=4, layer_order="ilc")
+        m = ra.XLSTM_HVED(1, 3, multi_stream=4, fusion_level=4,
+                          shared_recon=shared_recon, recon_skip=True,
+                          MVAE_reduction=True, final_sigmoid=True,
+                          f_maps=4, layer_order="ilc")
+        # the reference applies its init scheme after construction
+        # (train.py:145, Pretrain.py:149, utils.py:191-215)
+        m.apply(utils_mod.init_weights)
+        return m
 
     def valid_eval(model):
         model.eval()
@@ -143,16 +147,23 @@ def run_torch(xt, mt, xv, mv, pre_epochs, ft_epochs, rows):
     for k in ("rdecoder.finals.0.weight", "rdecoder.finals.0.bias",
               "srdecoder.rfinals.0.weight", "srdecoder.rfinals.0.bias",
               "srdecoder.sfinals.0.weight", "srdecoder.sfinals.0.bias"):
-        sd.pop(k, None)  # the reference's pops, utils.py:126-133
+        sd.pop(k, None)  # pops present (commented out) at utils.py:126-133;
+        # popping is REQUIRED here: shared_recon changes these heads' shapes
+        # and the reference's active strict=False load would raise on them
     ft.load_state_dict(sd, strict=False)
 
     import torch as _t
     _t.manual_seed(7)
     disc = ra.Discriminator(in_channels=7, ks=4, strides=[1, 2, 2, 2])
+    disc.apply(utils_mod.init_weights)  # train.py:147
     opt_g = _t.optim.Adam(ft.parameters(), lr=LR, weight_decay=WD)
     opt_d = _t.optim.Adam(disc.parameters(), lr=LR, weight_decay=WD)
+    # the reference steps BOTH schedulers every epoch (train.py:444-445);
+    # the JAX arm's make_optimizer poly schedule likewise decays G and D
     sch_g = _t.optim.lr_scheduler.LambdaLR(
         opt_g, lambda e: (1 - e / ft_epochs) ** 0.9)
+    sch_d = _t.optim.lr_scheduler.LambdaLR(
+        opt_d, lambda e: (1 - e / ft_epochs) ** 0.9)
     ft.train()
     disc.train()
     for epoch in range(1, ft_epochs + 1):
@@ -184,6 +195,7 @@ def run_torch(xt, mt, xv, mv, pre_epochs, ft_epochs, rows):
             loss_d.backward()
             opt_d.step()
         sch_g.step()
+        sch_d.step()
         d, p = valid_eval(ft)
         rows.append(("torch", epoch, *d, p))
         print(f"[torch finetune {epoch}/{ft_epochs}] "

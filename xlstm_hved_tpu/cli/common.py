@@ -15,6 +15,12 @@ from xlstm_hved_tpu.config import TrainConfig
 
 
 def base_parser(description: str) -> argparse.ArgumentParser:
+    # Every CLI entry point funnels through here before its first jit, so
+    # this is the one place to turn on the persistent compilation cache:
+    # the protocol orchestrator restarts training as bounded subprocess
+    # chunks and each chunk would otherwise pay the full XLA compile again.
+    from xlstm_hved_tpu.utils.compcache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description=description)
     p.add_argument("--num_epochs", type=int, default=3000)
     p.add_argument("--n_class", type=int, default=3)
