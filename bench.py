@@ -1,17 +1,22 @@
 """Benchmark: flagship XLSTM_HVED seg+recon inference throughput at 128^3,
 plus the full reference-protocol throughput (240x240x155 volume, 128x192x128
-sliding window, 15-subset sweep — /root/reference/test.py:29,98).
+sliding window, 15-subset sweep — /root/reference/test.py:29,98) and the
+adversarial train-step rate.
 
-Prints the protocol metric as a first JSON line, then the primary
-{"metric", "value", "unit", "vs_baseline"} line LAST (the driver parses the
-last line; both appear in the recorded tail).
+Budgeted (round-4 lesson: BENCH_r04 hit the driver's timeout with the
+primary metric still unprinted): the PRIMARY 128^3 line is measured FIRST
+and re-emitted LAST (the driver parses the last line), optional phases
+(protocol sweep, train step) run only while inside the time budget and are
+skipped with a logged notice otherwise, and every phase is individually
+fault-tolerant (relay transients abort the phase, not the bench).
+BENCH_BUDGET_S overrides the default 420 s soft budget.
 
 Methodology: the tunneled-TPU relay both caches repeat executions with
 identical inputs AND adds ~100 ms dispatch latency per host round-trip, so
 neither naive repetition nor host-chained dependencies measure device
 throughput. Instead the forward runs inside one jitted on-device fori_loop
 with per-iteration input perturbation, and the per-volume time is the slope
-between an N=4 and an N=20 loop (subtracting fixed dispatch cost).
+between a small-N and a large-N loop (subtracting fixed dispatch cost).
 
 Baseline context (BASELINE.md): the reference publishes no numbers; the
 rebuild target is ">=5x A100 reference throughput on a v5e-8". The A100
@@ -22,11 +27,11 @@ EAGER scenario (the reference as written, reference-favorable derates)
 gives ~50 vol/s. The 5x-on-8-chips target is therefore 5*50/8 = 31.25
 vol/s PER CHIP, and this bench runs on one chip:
 vs_baseline = value / (5 * 50 / 8) — 1.0 means the target is met.
-(Round 1 used an asserted 2.2 vol/s A100 figure; the derived constant is
-~23x harder on the per-chip basis.)
 """
 import json
+import os
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
@@ -46,10 +51,76 @@ BASELINE_UNCERTAINTY = "derived A100 denominator, +-2x"
 PROTOCOL_VOL = (240, 240, 155)
 PROTOCOL_PATCH = (128, 192, 128)
 
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+_T0 = time.time()
+
+
+def _elapsed():
+    return time.time() - _T0
+
 
 def _protocol_windows():
     from xlstm_hved_tpu.engine.evaluate import origin_grid
     return len(origin_grid(PROTOCOL_VOL, PROTOCOL_PATCH, PROTOCOL_PATCH))
+
+
+def bench_primary(model, variables, keep):
+    """Primary metric: single-window 128^3 seg+recon inference, with the
+    achieved-HBM-bandwidth context lines (round-3 VERDICT Weak #6: estimated
+    HBM traffic of one forward from the optimized HLO, over measured time).
+    Returns the JSON record (caller re-prints it as the last line)."""
+    shape = (1, 128, 128, 128, 4)
+    x0 = jnp.asarray(np.random.RandomState(0).rand(*shape), jnp.float32)
+
+    def one(xi):
+        out = model.apply(variables, xi, keep=keep, recon=True,
+                          deterministic=True)
+        return jnp.mean(out.seg) + jnp.mean(out.recon)
+
+    def raw(xi):
+        out = model.apply(variables, xi, keep=keep, recon=True,
+                          deterministic=True)
+        return out.seg, out.recon
+
+    traffic_gb = hlo_traffic_bytes(
+        jax.jit(raw).lower(x0).compile().as_text()) / 1e9
+
+    def loop_time(n):
+        @jax.jit
+        def run(x):
+            def body(i, acc):
+                return acc + one(x + acc * 1e-6 + i * 1e-4)
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+        # NOTE: jax.block_until_ready can return without waiting on the axon
+        # relay; forcing the scalar to host is the only reliable sync.
+        float(run(x0))  # compile + sync
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(x0))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_small, t_large = loop_time(4), loop_time(20)
+    per_volume = (t_large - t_small) / 16.0
+
+    vols_per_sec = shape[0] / per_volume
+    target = (TARGET_MULTIPLIER * A100_REFERENCE_VOLS_PER_SEC
+              / CHIPS_IN_TARGET_POD)  # per-chip share of the 5x-pod target
+    V5E_HBM_PEAK_GBPS = 819.0  # v5e: 16 GB HBM2 @ 819 GB/s
+    achieved_gbps = traffic_gb / per_volume
+    return {
+        "metric": "xlstm_hved_seg_recon_inference_128cubed",
+        "value": round(vols_per_sec, 3),
+        "unit": "volumes/sec/chip",
+        "vs_baseline": round(vols_per_sec / target, 3),
+        "baseline_uncertainty": BASELINE_UNCERTAINTY,
+        "hlo_traffic_gb_per_volume": round(traffic_gb, 3),
+        "achieved_hbm_gbps": round(achieved_gbps, 1),
+        "pct_of_v5e_hbm_peak": round(100 * achieved_gbps / V5E_HBM_PEAK_GBPS,
+                                     1),
+    }
 
 
 def bench_protocol(model, variables):
@@ -59,10 +130,7 @@ def bench_protocol(model, variables):
     8 x 1.5x-voxel times per subset, 15 subsets).
 
     Uses the HOISTED sweep (round-4): the subset-invariant forward prefix
-    runs once per window instead of 15x — exact (tests/test_engine.py).
-    Measured gain at this shape: flagship 0.230 -> 0.252 vol/s (the skr gate
-    chain bounds the hoist at level 0); the full-encoder hoist on the
-    non-skr U_HVEDConvDuSFEmViLNet3D gives 0.265 -> 0.335 vol/s."""
+    runs once per window instead of 15x — exact (tests/test_engine.py)."""
     from xlstm_hved_tpu.engine.evaluate import make_hoisted_subset_sweep
 
     sweep = make_hoisted_subset_sweep(model, patch=PROTOCOL_PATCH,
@@ -109,8 +177,7 @@ def bench_train_step(model):
     """Full adversarial G+D train step at 128^3 batch 1, bf16 D (the CLI
     default path). Emits steps/sec/chip; vs_baseline is relative to the
     round-3 measured 281 ms/step (docs/PERFORMANCE.md), making regressions
-    and wins visible in BENCH_r* instead of only in docs (round-3 VERDICT
-    Weak #5)."""
+    and wins visible in BENCH_r* instead of only in docs."""
     import jax.random as jr
 
     from xlstm_hved_tpu.config import TrainConfig
@@ -125,14 +192,13 @@ def bench_train_step(model):
     mask = jnp.asarray((rng.rand(1, 128, 128, 128, 3) > 0.7), jnp.float32)
     state, _ = create_train_state(model, disc, cfg, jr.PRNGKey(0), x)
     step = make_train_step(model, disc, cfg)
-    # make_train_step donates its state arg; keep a reusable copy protocol:
-    # the fori_loop owns the state, we only re-enter with a fresh jitted run
 
     def loop_time(n):
         @jax.jit
         def run(state, x, mask):
             def body(i, st):
-                st, _m = step(st, x + i * 1e-4, mask, jr.fold_in(jr.PRNGKey(1), i))
+                st, _m = step(st, x + i * 1e-4, mask,
+                              jr.fold_in(jr.PRNGKey(1), i))
                 return st
             st = jax.lax.fori_loop(0, n, body, state)
             # force real execution on the relay: reduce one param leaf
@@ -199,71 +265,46 @@ def hlo_traffic_bytes(compiled_text):
     return total
 
 
+def _phase(name, min_headroom_s, fn, *args):
+    """Run one optional bench phase if the remaining budget allows; never
+    let a phase failure (relay transient) kill the bench."""
+    if _elapsed() + min_headroom_s > BUDGET_S:
+        print(f"[bench] skipping {name}: {_elapsed():.0f}s elapsed, "
+              f"needs ~{min_headroom_s:.0f}s, budget {BUDGET_S:.0f}s",
+              flush=True)
+        return
+    try:
+        fn(*args)
+    except Exception:
+        print(f"[bench] {name} failed (continuing):", flush=True)
+        traceback.print_exc()
+
+
 def main():
     from xlstm_hved_tpu.models import find_model_using_name
+    from xlstm_hved_tpu.utils.compcache import enable_persistent_cache
     from xlstm_hved_tpu.utils.subsets import SUBSET_MASKS
 
+    enable_persistent_cache()
     model = find_model_using_name("XLSTM_HVED", compute_dtype="bfloat16")
-    shape = (1, 128, 128, 128, 4)
-    x0 = jnp.asarray(np.random.RandomState(0).rand(*shape), jnp.float32)
+    x0 = jnp.asarray(np.random.RandomState(0).rand(1, 128, 128, 128, 4),
+                     jnp.float32)
     variables = jax.jit(lambda k, x: model.init(k, x, deterministic=True))(
         {"params": jax.random.PRNGKey(0), "latent": jax.random.PRNGKey(1)}, x0)
     keep = jnp.asarray(SUBSET_MASKS[14])
 
-    bench_protocol(model, variables)
-    bench_train_step(model)
+    # primary first: the one metric that must always land
+    primary = bench_primary(model, variables, keep)
+    print(json.dumps(primary), flush=True)
+    print(f"[bench] primary done at {_elapsed():.0f}s", flush=True)
 
-    def one(xi):
-        out = model.apply(variables, xi, keep=keep, recon=True,
-                          deterministic=True)
-        return jnp.mean(out.seg) + jnp.mean(out.recon)
+    # optional phases, cheapest-information-first, each budget-gated.
+    # Headroom estimates are warm-cache compile + run times on the relay.
+    _phase("protocol_sweep", 150, bench_protocol, model, variables)
+    _phase("train_step", 120, bench_train_step, model)
 
-    # achieved-bandwidth context for the primary line (round-3 VERDICT
-    # Weak #6): estimated HBM traffic of ONE forward from the optimized HLO
-    def raw(xi):
-        out = model.apply(variables, xi, keep=keep, recon=True,
-                          deterministic=True)
-        return out.seg, out.recon
-
-    traffic_gb = hlo_traffic_bytes(
-        jax.jit(raw).lower(x0).compile().as_text()) / 1e9
-
-    def loop_time(n):
-        @jax.jit
-        def run(x):
-            def body(i, acc):
-                return acc + one(x + acc * 1e-6 + i * 1e-4)
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
-
-        # NOTE: jax.block_until_ready can return without waiting on the axon
-        # relay; forcing the scalar to host is the only reliable sync.
-        float(run(x0))  # compile + sync
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(run(x0))
-            times.append(time.perf_counter() - t0)
-        return min(times)
-
-    t_small, t_large = loop_time(4), loop_time(20)
-    per_volume = (t_large - t_small) / 16.0
-
-    vols_per_sec = shape[0] / per_volume
-    target = (TARGET_MULTIPLIER * A100_REFERENCE_VOLS_PER_SEC
-              / CHIPS_IN_TARGET_POD)  # per-chip share of the 5x-pod target
-    V5E_HBM_PEAK_GBPS = 819.0  # v5e: 16 GB HBM2 @ 819 GB/s
-    achieved_gbps = traffic_gb / per_volume
-    print(json.dumps({
-        "metric": "xlstm_hved_seg_recon_inference_128cubed",
-        "value": round(vols_per_sec, 3),
-        "unit": "volumes/sec/chip",
-        "vs_baseline": round(vols_per_sec / target, 3),
-        "baseline_uncertainty": BASELINE_UNCERTAINTY,
-        "hlo_traffic_gb_per_volume": round(traffic_gb, 3),
-        "achieved_hbm_gbps": round(achieved_gbps, 1),
-        "pct_of_v5e_hbm_peak": round(100 * achieved_gbps / V5E_HBM_PEAK_GBPS,
-                                     1),
-    }))
+    # re-emit the primary line LAST: the driver parses the final line
+    print(json.dumps(primary), flush=True)
 
 
 if __name__ == "__main__":

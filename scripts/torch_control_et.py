@@ -73,7 +73,7 @@ def hard_dice(pred, true):
 
 # ---------------------------------------------------------------- torch side
 
-def run_torch(xt, mt, xv, mv, pre_epochs, ft_epochs, rows):
+def run_torch(xt, mt, xv, mv, pre_epochs, ft_epochs, rows, subset_rows):
     import importlib
 
     import torch
@@ -202,10 +202,31 @@ def run_torch(xt, mt, xv, mv, pre_epochs, ft_epochs, rows):
               f"WT {d[0]:.4f} TC {d[1]:.4f} ET {d[2]:.4f} PSNR {p:.2f} "
               f"({time.time() - t0:.0f}s)", flush=True)
 
+    # trained weights for the transplant route (round-4 VERDICT #8): our
+    # eval stack can load these via utils/torch_import and demonstrate
+    # missing-modality degradation with reference-trained weights
+    torch.save(ft.state_dict(),
+               os.path.join(ROOT, "runs", "torch_control_et_model.pt"))
+
+    # final 15-subset sweep (reference test.py:78-102 semantics at
+    # patch == volume): graceful-degradation evidence at matched scale
+    ft.eval()
+    with torch.no_grad():
+        for idx in range(15):
+            xz = xv.clone()
+            for mod in range(4):  # zero dropped inputs, evaluation.py:306-307
+                if mod not in ra.SUBSETS_MODALITIES[idx]:
+                    xz[:, mod] = 0.0
+            seg, _ = ft(xz, [idx], valid=True)
+            d = hard_dice(seg.numpy(), mv)
+            subset_rows.append(("torch", idx, *d))
+            print(f"[torch subset {idx}] WT {d[0]:.4f} TC {d[1]:.4f} "
+                  f"ET {d[2]:.4f}", flush=True)
+
 
 # ------------------------------------------------------------------ jax side
 
-def run_jax(xt, mt, xv, mv, pre_epochs, ft_epochs, rows):
+def run_jax(xt, mt, xv, mv, pre_epochs, ft_epochs, rows, subset_rows):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -278,6 +299,23 @@ def run_jax(xt, mt, xv, mv, pre_epochs, ft_epochs, rows):
               f"WT {d[0]:.4f} TC {d[1]:.4f} ET {d[2]:.4f} PSNR {p:.2f} "
               f"({time.time() - t0:.0f}s)", flush=True)
 
+    # final 15-subset sweep (keep as a traced arg: one compile for all 15)
+    from xlstm_hved_tpu.utils.subsets import SUBSET_MASKS
+    mvars = {"params": ft_state.params_g}
+    if ft_state.batch_stats_g:
+        mvars["batch_stats"] = ft_state.batch_stats_g
+    sweep_fwd = jax.jit(lambda v, x, k: ft_model.apply(
+        v, x, keep=k, recon=False, deterministic=True).seg)
+    for idx in range(15):
+        keep = jnp.asarray(SUBSET_MASKS[idx], jnp.float32)
+        xz = xv_j * keep[None, None, None, None, :]
+        seg = np.moveaxis(
+            np.asarray(sweep_fwd(mvars, xz, keep), np.float32), -1, 1)
+        d = hard_dice(seg, mv)
+        subset_rows.append(("jax", idx, *d))
+        print(f"[jax subset {idx}] WT {d[0]:.4f} TC {d[1]:.4f} "
+              f"ET {d[2]:.4f}", flush=True)
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -293,12 +331,14 @@ def main():
           f"{mt[:, 2].mean():.4f} of volume, "
           f"{mt[:, 2].sum() / mt[:, 0].sum():.3f} of tumor", flush=True)
 
-    rows = []
+    rows, subset_rows = [], []
     try:
         if args.impl in ("jax", "both"):
-            run_jax(xt, mt, xv, mv, args.pre_epochs, args.ft_epochs, rows)
+            run_jax(xt, mt, xv, mv, args.pre_epochs, args.ft_epochs, rows,
+                    subset_rows)
         if args.impl in ("torch", "both"):
-            run_torch(xt, mt, xv, mv, args.pre_epochs, args.ft_epochs, rows)
+            run_torch(xt, mt, xv, mv, args.pre_epochs, args.ft_epochs, rows,
+                      subset_rows)
     finally:
         out = os.path.join(ROOT, "docs", "fullscale", "torch_control_et.csv")
         with open(out, "w", newline="") as f:
@@ -306,6 +346,13 @@ def main():
             w.writerow(["impl", "epoch", "wt", "tc", "et", "psnr_f"])
             w.writerows(rows)
         print(f"wrote {out} ({len(rows)} rows)")
+        out2 = os.path.join(ROOT, "docs", "fullscale",
+                            "torch_control_et_subsets.csv")
+        with open(out2, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["impl", "subset_idx", "wt", "tc", "et"])
+            w.writerows(subset_rows)
+        print(f"wrote {out2} ({len(subset_rows)} rows)")
 
 
 if __name__ == "__main__":
