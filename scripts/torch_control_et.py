@@ -151,6 +151,12 @@ def run_torch(xt, mt, xv, mv, pre_epochs, ft_epochs, rows, subset_rows):
         # popping is REQUIRED here: shared_recon changes these heads' shapes
         # and the reference's active strict=False load would raise on them
     ft.load_state_dict(sd, strict=False)
+    # surgery-point snapshot: lets a follow-up arm start OUR engine from the
+    # torch chain's exact finetune-initial weights (isolates engine dynamics
+    # from the init-scheme difference — reference init_weights draws conv
+    # biases from N(0,1), utils.py:191-201, where our engine zero-inits)
+    torch.save(ft.state_dict(),
+               os.path.join(ROOT, "runs", "torch_control_ft_init.pt"))
 
     import torch as _t
     _t.manual_seed(7)
