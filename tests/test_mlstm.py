@@ -37,6 +37,54 @@ def test_chunkwise_extreme_gates(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=5e-4)
 
 
+def test_chunkwise_wide_igate_spread_grads_finite(rng):
+    """Regression: trained igates spreading > ~88 within one chunk used to
+    overflow the post-exp-masked decay matrix to +inf and NaN the jnp.where
+    VJP (0-cotangent * inf) — finite forward, NaN backward through every
+    ViL-traversing loss (round-5 ET control, scripts/et_nan_pinpoint.py).
+    The fix masks in log space; forward must still match the quadratic."""
+    q, k, v, ig, fg = _rand_inputs(rng, B=1, NH=2, S=64, DH=8)
+    # monotone igate ramp 0..200 inside a single 64-token chunk
+    ig = jnp.broadcast_to(jnp.linspace(0.0, 200.0, 64), ig.shape)
+    ref = mlstm_quadratic(q, k, v, ig, fg)
+    out = mlstm_chunkwise(q, k, v, ig, fg, chunk_size=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=5e-4)
+
+    def loss(args):
+        return jnp.sum(mlstm_chunkwise(*args, chunk_size=64) ** 2)
+
+    g = jax.grad(loss)((q, k, v, ig, fg))
+    for arr in jax.tree_util.tree_leaves(g):
+        assert np.all(np.isfinite(np.asarray(arr)))
+
+    # multi-chunk: the spread also crosses chunk boundaries
+    def loss16(args):
+        return jnp.sum(mlstm_chunkwise(*args, chunk_size=16) ** 2)
+
+    g16 = jax.grad(loss16)((q, k, v, ig, fg))
+    for arr in jax.tree_util.tree_leaves(g16):
+        assert np.all(np.isfinite(np.asarray(arr)))
+
+
+def test_chunkwise_deep_forget_normalizer_grads_finite(rng):
+    """Regression: m_t < -88 (deep forgetting) used to overflow the
+    exp(-m_t) normalizer branch to inf and NaN the maximum() VJP; the
+    exponent is now clamped at -60 (below fp32 resolution of h anyway)."""
+    q, k, v, ig, fg = _rand_inputs(rng, B=1, NH=2, S=48, DH=8)
+    fg = fg - 20.0  # lf ~ -20/token -> m_t ~ -900 by the end
+    ig = ig - 100.0
+
+    def loss(args):
+        return jnp.sum(mlstm_chunkwise(*args, chunk_size=16) ** 2)
+
+    out = mlstm_chunkwise(q, k, v, ig, fg, chunk_size=16)
+    assert np.all(np.isfinite(np.asarray(out)))
+    g = jax.grad(loss)((q, k, v, ig, fg))
+    for arr in jax.tree_util.tree_leaves(g):
+        assert np.all(np.isfinite(np.asarray(arr)))
+
+
 def test_chunkwise_bf16_io_close(rng):
     q, k, v, ig, fg = _rand_inputs(rng, S=64)
     ref = mlstm_chunkwise(q, k, v, ig, fg, chunk_size=32)

@@ -95,9 +95,16 @@ def _chunk_scan_body(carry, inp, *, eps: float):
     a = jnp.cumsum(lf)  # (L,) inclusive local log-forget cumsum
     s = igate - a  # (L,)
     m_local = jnp.maximum(jnp.maximum.accumulate(s), m_state)  # (L,) = M_p
-    # Intra-chunk decay matrix: exp(s_j - M_t), causal.
-    dec = jnp.exp(s[None, :] - m_local[:, None])
-    dec = jnp.where(jnp.tril(jnp.ones((L, L), dtype=bool)), dec, 0.0)
+    # Intra-chunk decay matrix: exp(s_j - M_t), causal. The causal mask MUST
+    # be applied in LOG space, before the exp (as the quadratic form and the
+    # reference do via the -inf masked logw): for masked j > t positions
+    # s_j - M_t is unbounded above, exp overflows to +inf, and the VJP of a
+    # post-exp jnp.where then multiplies 0-cotangent * inf = NaN. Trained
+    # igates spread wide enough to hit this (the round-5 ET-control NaN:
+    # finite forward, NaN backward through every ViL-traversing loss).
+    delta = s[None, :] - m_local[:, None]
+    delta = jnp.where(jnp.tril(jnp.ones((L, L), dtype=bool)), delta, -jnp.inf)
+    dec = jnp.exp(delta)
     dot = functools.partial(jnp.matmul, precision=_HI)
     qk = dot(q * scale, k.T)  # (L, L) fp32
     attn = qk * dec
@@ -107,7 +114,11 @@ def _chunk_scan_body(carry, inp, *, eps: float):
     rowsum = jnp.sum(attn, axis=1, keepdims=True) + inter_w * dot(
         q * scale, n_state)[:, None]
     max_log = a + m_local  # true rowwise stabilizer m_t
-    denom = jnp.maximum(jnp.abs(rowsum), jnp.exp(-max_log)[:, None]) + eps
+    # Clamp the normalizer exponent: for max_log < -60 the true h is below
+    # fp32 resolution anyway (num <= L*|qk||v| << e^60), while an unclamped
+    # exp(-max_log) overflows to inf and NaNs the maximum() VJP the same way.
+    denom = jnp.maximum(jnp.abs(rowsum),
+                        jnp.exp(-jnp.maximum(max_log, -60.0))[:, None]) + eps
     h = num / denom
 
     # State update to the end of this chunk.

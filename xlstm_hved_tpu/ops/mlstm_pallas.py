@@ -70,7 +70,10 @@ def _mlstm_kernel(q_ref, k_ref, v_ref, a_ref, s_ref, cm_ref, srow_ref,
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
     causal = col_ids <= row_ids
-    dec = jnp.where(causal, jnp.exp(s_row - m_local_col), 0.0)
+    # mask in LOG space before the exp: masked s_j - M_t is unbounded above
+    # and the overflowed +inf lanes, while discarded by select here, would
+    # poison the backward recomputation (see ops/mlstm.py _chunk_scan_body)
+    dec = jnp.exp(jnp.where(causal, s_row - m_local_col, -jnp.inf))
 
     qs = q * scale
     hi = jax.lax.Precision.HIGHEST  # cell math is fp32 in the reference
@@ -84,7 +87,10 @@ def _mlstm_kernel(q_ref, k_ref, v_ref, a_ref, s_ref, cm_ref, srow_ref,
     rowsum = jnp.sum(attn, axis=1, keepdims=True) \
         + inter_w * jnp.dot(qs, n_state[:].reshape(DH, 1),
                             preferred_element_type=jnp.float32, precision=hi)
-    denom = jnp.maximum(jnp.abs(rowsum), jnp.exp(-(a + m_local_col))) + eps
+    # exponent clamp (match _chunk_scan_body): unclamped e^{-m_t} overflows
+    # for m_t < -88 and turns the dead normalizer branch into inf/NaN
+    denom = jnp.maximum(jnp.abs(rowsum),
+                        jnp.exp(-jnp.maximum(a + m_local_col, -60.0))) + eps
     out_ref[0] = (num / denom).astype(out_ref.dtype)
 
     # state update to the end of this chunk
@@ -241,7 +247,9 @@ def _mlstm_bwd_kernel(q_ref, k_ref, v_ref, g_ref, a_ref, s_ref, cm_ref,
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
     causal = col_ids <= row_ids
-    dec = jnp.where(causal, jnp.exp(s_row - m_col), 0.0)
+    # log-space mask + clamped normalizer exponent: MUST mirror the forward
+    # kernel exactly so act/denom recompute consistently (see fwd kernel)
+    dec = jnp.exp(jnp.where(causal, s_row - m_col, -jnp.inf))
     qk = dot(qs, k.T)
     attn = qk * dec
     inter = jnp.exp(m_in - m_col)       # (L, 1)
@@ -250,7 +258,7 @@ def _mlstm_bwd_kernel(q_ref, k_ref, v_ref, g_ref, a_ref, s_ref, cm_ref,
     num = dot(attn, v) + inter * qC
     rowsum = jnp.sum(attn, axis=1, keepdims=True) + inter * qn
     mlog = a + m_col
-    e_neg = jnp.exp(-mlog)
+    e_neg = jnp.exp(-jnp.maximum(mlog, -60.0))
     denom = jnp.maximum(jnp.abs(rowsum), e_neg) + eps
     act = jnp.abs(rowsum) >= e_neg      # (L, 1) live |rowsum| branch
 
