@@ -51,7 +51,7 @@ BASELINE_UNCERTAINTY = "derived A100 denominator, +-2x"
 PROTOCOL_VOL = (240, 240, 155)
 PROTOCOL_PATCH = (128, 192, 128)
 
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "540"))
 _T0 = time.time()
 
 
@@ -246,22 +246,40 @@ def _shape_bytes(stext):
 def hlo_traffic_bytes(compiled_text):
     """Estimated HBM bytes moved by one execution: sum of operand + output
     bytes over every top-level instruction of the ENTRY computation (the
-    traffic model of scripts/hlo_analysis.py; fusion-internal intermediates
-    stay in VMEM and are correctly excluded)."""
+    traffic model of scripts/hlo_parse.py; fusion-internal intermediates
+    stay in VMEM and are correctly excluded).
+
+    Two-pass: scheduled TPU HLO prints operands as bare %references (no
+    inline types) and shapes carry layout suffixes like {1,0:T(8,128)}, so
+    operand bytes must be resolved through a name->shape symbol table —
+    the single-regex form silently measured 0 on the axon backend."""
     import re
-    entry = (compiled_text.split("ENTRY ")[1]
-             if "ENTRY " in compiled_text else compiled_text)
-    total = 0
+    if "\nENTRY " not in compiled_text:
+        return 0
+    entry = compiled_text[compiled_text.rindex("\nENTRY "):]
+    end = entry.find("\n}")
+    if end > 0:
+        entry = entry[:end]
+    line_re = re.compile(
+        r"^\s*(?:ROOT )?%([\w.\-]+) = ((?:\([^=]*?\)|\S+?)) (\S+?)\((.*)$")
+    shapes, inst = {}, []
     for line in entry.splitlines():
-        line = line.strip()
-        m = re.match(r"%?([\w.\-]+) = ((?:\([^)]*\)|[\w\[\]{},\d]+)) "
-                     r"(fusion|copy|convolution|transpose|bitcast|"
-                     r"all-reduce|custom-call|reduce|concatenate|dot)\(",
-                     line)
+        m = line_re.match(line)
         if not m:
             continue
-        args = line[m.end():].split(", kind=")[0].split(", calls=")[0]
-        total += _shape_bytes(m.group(2)) + _shape_bytes(args)
+        name, oshape, op, rest = m.groups()
+        shapes[name] = oshape
+        inst.append((oshape, op.rstrip("("), rest))
+    total = 0
+    for oshape, op, rest in inst:
+        if op in ("parameter", "constant", "get-tuple-element", "tuple",
+                  "bitcast", "copy-start", "copy-done"):
+            continue
+        args = rest.split(", kind=")[0].split(", calls=")[0]
+        args = args.split(", metadata=")[0]
+        in_b = sum(_shape_bytes(shapes.get(am.group(1), ""))
+                   for am in re.finditer(r"%([\w.\-]+)", args))
+        total += _shape_bytes(oshape) + in_b
     return total
 
 
@@ -300,10 +318,12 @@ def main():
 
     # optional phases, cheapest-information-first, each budget-gated.
     # Headroom estimates are warm-cache compile + run times on the relay.
-    _phase("protocol_sweep", 150, bench_protocol, model, variables)
+    # The primary line is RE-EMITTED after every phase: the driver parses
+    # the LAST line, and a driver-side kill mid-phase must never leave a
+    # secondary metric as the final line.
+    _phase("protocol_sweep", 130, bench_protocol, model, variables)
+    print(json.dumps(primary), flush=True)
     _phase("train_step", 120, bench_train_step, model)
-
-    # re-emit the primary line LAST: the driver parses the final line
     print(json.dumps(primary), flush=True)
 
 

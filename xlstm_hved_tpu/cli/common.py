@@ -83,6 +83,14 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "retains a host copy of every uploaded step batch, "
                         "~60 MB/step at the reference crop, so a multi-hour "
                         "single process is OOM-killed by the host kernel)")
+    p.add_argument("--init_scheme", type=str, default="reference",
+                   choices=["reference", "default"],
+                   help="fresh-start weight init: 'reference' applies the "
+                        "protocol's init_weights distribution (kaiming "
+                        "kernels, N(0,1) conv biases, utils.py:191-215, "
+                        "applied at train.py:145-147); 'default' keeps "
+                        "he-normal kernels + zero biases. Ignored on "
+                        "checkpoint resume")
     p.add_argument("--sdm", action="store_true",
                    help="add the boundary loss <seg, SDM(gt)> to the "
                         "generator objective (reference optional path, "

@@ -55,7 +55,8 @@ def main(argv=None):
     sample = jnp.zeros((1, *cfg.crop_size, 4), jnp.float32)
     rng, init_rng = jax.random.split(rng)
     state, _ = create_train_state(model, disc, cfg, init_rng, sample,
-                                  steps_per_epoch)
+                                  steps_per_epoch,
+                                  init_scheme=args.init_scheme)
     freeze = freeze_mask_for(state.params_g, ("sdecoder",))
     step = make_pretrain_step(model, cfg, steps_per_epoch, freeze_mask=freeze)
 

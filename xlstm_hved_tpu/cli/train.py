@@ -73,7 +73,8 @@ def main(argv=None):
     sample = jnp.zeros((1, *cfg.crop_size, 4), jnp.float32)
     rng, init_rng = jax.random.split(rng)
     state, _ = create_train_state(model, disc, cfg, init_rng, sample,
-                                  steps_per_epoch)
+                                  steps_per_epoch,
+                                  init_scheme=args.init_scheme)
 
     ckpt = CheckpointManager(f"{args.out_dir}/{args.model_name}",
                              backup_interval=args.backup_interval)

@@ -82,8 +82,14 @@ def nested_region_weight(seg: jnp.ndarray) -> jnp.ndarray:
 
 def create_train_state(model, disc, cfg: TrainConfig, rng: jax.Array,
                        sample_batch: jnp.ndarray,
-                       steps_per_epoch: int = 1) -> Tuple[TrainState, Dict]:
-    k_g, k_d, k_lat = jax.random.split(rng, 3)
+                       steps_per_epoch: int = 1,
+                       init_scheme: str = "default") -> Tuple[TrainState, Dict]:
+    """init_scheme="reference" re-draws G and D params with the reference
+    protocol's init_weights distribution (kaiming kernels, N(0,1) conv
+    biases — /root/reference/utils.py:191-215, applied at train.py:145-147):
+    the round-5 ET control showed the seg head's marginal ET channel escapes
+    suppression from that basin where the zero-bias default stalls."""
+    k_g, k_d, k_lat, k_ri_g, k_ri_d = jax.random.split(rng, 5)
     # jit the inits: eager flax dispatch of hundreds of tiny convs is minutes
     variables = jax.jit(functools.partial(model.init, deterministic=True))(
         {"params": k_g, "latent": k_lat}, sample_batch)
@@ -91,6 +97,12 @@ def create_train_state(model, disc, cfg: TrainConfig, rng: jax.Array,
     batch_stats = variables.get("batch_stats", {})
     disc_in = jnp.zeros(sample_batch.shape[:-1] + (7,), sample_batch.dtype)
     params_d = jax.jit(disc.init)(k_d, disc_in)["params"]
+    if init_scheme == "reference":
+        from xlstm_hved_tpu.nn.init_schemes import reference_init
+        params_g = jax.jit(reference_init)(params_g, k_ri_g)
+        params_d = jax.jit(reference_init)(params_d, k_ri_d)
+    elif init_scheme != "default":
+        raise ValueError(f"unknown init_scheme {init_scheme!r}")
     tx = make_optimizer(cfg, steps_per_epoch)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
