@@ -28,7 +28,9 @@ from xlstm_hved_tpu.data.transforms import device_eval_transform
 from xlstm_hved_tpu.engine.checkpoint import CheckpointManager
 from xlstm_hved_tpu.models import find_model_using_name
 
-CKPT_DIR = "/root/repo/runs/fullscale/XLSTM_HVED"
+import os as _os
+CKPT_DIR = _os.environ.get("DIAG_CKPT_DIR",
+                           "/root/repo/runs/fullscale/XLSTM_HVED")
 VALID_DIR = "/root/repo/runs/fullscale/data/valid"
 CROP = (64, 96, 64)
 

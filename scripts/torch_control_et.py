@@ -232,7 +232,9 @@ def run_torch(xt, mt, xv, mv, pre_epochs, ft_epochs, rows, subset_rows):
 
 # ------------------------------------------------------------------ jax side
 
-def run_jax(xt, mt, xv, mv, pre_epochs, ft_epochs, rows, subset_rows):
+def run_jax(xt, mt, xv, mv, pre_epochs, ft_epochs, rows, subset_rows,
+            init_scheme="default"):
+    label = "jax" if init_scheme == "default" else f"jax_{init_scheme}init"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -258,7 +260,8 @@ def run_jax(xt, mt, xv, mv, pre_epochs, ft_epochs, rows, subset_rows):
                                       compute_dtype="float32")
     cfg_pre = TrainConfig(crop_size=SHAPE, num_epochs=pre_epochs)
     state, _ = create_train_state(pre_model, disc, cfg_pre,
-                                  jax.random.PRNGKey(0), xt_j[:1], N_TRAIN)
+                                  jax.random.PRNGKey(0), xt_j[:1], N_TRAIN,
+                                  init_scheme=init_scheme)
     freeze = freeze_mask_for(state.params_g, ("sdecoder",))
     pstep = jax.jit(make_pretrain_step(pre_model, cfg_pre, N_TRAIN,
                                        freeze_mask=freeze))
@@ -274,7 +277,8 @@ def run_jax(xt, mt, xv, mv, pre_epochs, ft_epochs, rows, subset_rows):
     ft_model = find_model_using_name("XLSTM_HVED", compute_dtype="float32")
     cfg_ft = TrainConfig(crop_size=SHAPE, num_epochs=ft_epochs)
     ft_state, _ = create_train_state(ft_model, disc, cfg_ft,
-                                     jax.random.PRNGKey(1), xt_j[:1], N_TRAIN)
+                                     jax.random.PRNGKey(1), xt_j[:1], N_TRAIN,
+                                     init_scheme=init_scheme)
     merged, loaded, skipped = surgical_restore(ft_state.params_g,
                                                state.params_g)
     ft_state = ft_state.replace(params_g=merged,
@@ -300,8 +304,8 @@ def run_jax(xt, mt, xv, mv, pre_epochs, ft_epochs, rows, subset_rows):
         d = hard_dice(seg, mv)
         p = float(10 * np.log10(
             1.0 / np.mean((rec - np.asarray(xv_j)) ** 2)))
-        rows.append(("jax", epoch, *d, p))
-        print(f"[jax finetune {epoch}/{ft_epochs}] "
+        rows.append((label, epoch, *d, p))
+        print(f"[{label} finetune {epoch}/{ft_epochs}] "
               f"WT {d[0]:.4f} TC {d[1]:.4f} ET {d[2]:.4f} PSNR {p:.2f} "
               f"({time.time() - t0:.0f}s)", flush=True)
 
@@ -318,8 +322,8 @@ def run_jax(xt, mt, xv, mv, pre_epochs, ft_epochs, rows, subset_rows):
         seg = np.moveaxis(
             np.asarray(sweep_fwd(mvars, xz, keep), np.float32), -1, 1)
         d = hard_dice(seg, mv)
-        subset_rows.append(("jax", idx, *d))
-        print(f"[jax subset {idx}] WT {d[0]:.4f} TC {d[1]:.4f} "
+        subset_rows.append((label, idx, *d))
+        print(f"[{label} subset {idx}] WT {d[0]:.4f} TC {d[1]:.4f} "
               f"ET {d[2]:.4f}", flush=True)
 
 
@@ -329,6 +333,8 @@ def main():
     ap.add_argument("--ft_epochs", type=int, default=24)
     ap.add_argument("--impl", choices=("torch", "jax", "both"),
                     default="both")
+    ap.add_argument("--jax_init", default="default",
+                    choices=("default", "reference"))
     args = ap.parse_args()
 
     xt, mt = make_data(N_TRAIN, seed=0)
@@ -341,22 +347,26 @@ def main():
     try:
         if args.impl in ("jax", "both"):
             run_jax(xt, mt, xv, mv, args.pre_epochs, args.ft_epochs, rows,
-                    subset_rows)
+                    subset_rows, init_scheme=args.jax_init)
         if args.impl in ("torch", "both"):
             run_torch(xt, mt, xv, mv, args.pre_epochs, args.ft_epochs, rows,
                       subset_rows)
     finally:
         out = os.path.join(ROOT, "docs", "fullscale", "torch_control_et.csv")
-        with open(out, "w", newline="") as f:
+        mode = "a" if os.path.exists(out) else "w"
+        with open(out, mode, newline="") as f:
             w = csv.writer(f)
-            w.writerow(["impl", "epoch", "wt", "tc", "et", "psnr_f"])
+            if mode == "w":
+                w.writerow(["impl", "epoch", "wt", "tc", "et", "psnr_f"])
             w.writerows(rows)
         print(f"wrote {out} ({len(rows)} rows)")
         out2 = os.path.join(ROOT, "docs", "fullscale",
                             "torch_control_et_subsets.csv")
-        with open(out2, "w", newline="") as f:
+        mode = "a" if os.path.exists(out2) else "w"
+        with open(out2, mode, newline="") as f:
             w = csv.writer(f)
-            w.writerow(["impl", "subset_idx", "wt", "tc", "et"])
+            if mode == "w":
+                w.writerow(["impl", "subset_idx", "wt", "tc", "et"])
             w.writerows(subset_rows)
         print(f"wrote {out2} ({len(subset_rows)} rows)")
 

@@ -38,19 +38,36 @@ def _is_norm_dict(d: dict) -> bool:
     return "scale" in d
 
 
+# path markers of the reference's true nn.Linear layers (everything else
+# with a 2D kernel is a pointwise conv = torch Conv3d(1x1x1) -> kaiming)
+_LINEAR_MARKERS = ("fc_", "igate", "fgate", "proj_up", "proj_down")
+# subtrees init_weights does not dispatch on (torch Conv1d)
+_SKIP_MARKERS = ("conv1d",)
+
+
 def reference_init(params: Any, rng: jax.Array) -> Any:
     """Return a new param tree with the reference init_weights distribution.
 
-    Rules (path-free, structure-driven — robust to the folded/reformulated
-    conv layouts):
-      - dict with "kernel": kernel ndim >= 3 -> kaiming normal (conv);
-        ndim == 2 -> xavier normal (linear); ndim == 1 (PReLU alpha etc.)
-        untouched. Structural zeros of the old kernel are preserved and
-        fan-in is counted through the mask (per output channel).
+    Rules (mirroring exactly which torch module classes init_weights
+    touches — it dispatches on isinstance, so custom modules and Conv1d are
+    left at their own defaults):
+      - "kernel" leaves are convs (kaiming normal) unless their path names
+        one of the reference's true nn.Linear layers (DuSE fc_*; ViL
+        igate/fgate/proj_up/proj_down) -> xavier normal. Our pointwise
+        Conv1x1 stores 2D kernels but corresponds to torch Conv3d(1x1x1),
+        so shape alone cannot make this call. Structural zeros of the old
+        kernel are preserved and fan-in is counted through the mask (per
+        output channel); all-zero kernels (the zero-INIT ViL gate Linears)
+        are redrawn dense, as torch's xavier overwrite does.
       - "bias" sibling of a "kernel" -> N(0, 1).
-      - dict with "scale" (norm layers): BatchNorm paths get
-        scale ~ N(1, 0.02), bias = 0; instance-norm scales are untouched
-        (the reference's init_weights skips InstanceNorm3d).
+      - the ViL causal conv ("conv1d" in path) is untouched: it is a torch
+        Conv1d, which init_weights does not dispatch on.
+      - headwise q/k/v projections store "weight" (not "kernel") and are
+        untouched — they are custom modules, not nn.Linear.
+      - dict with "scale" (norm layers): BatchNorm paths ("BatchNorm" flax
+        auto-name or the DuSE "bn_*" names) get scale ~ N(1, 0.02),
+        bias = 0; instance-norm scales are untouched (init_weights skips
+        InstanceNorm3d).
     """
     leaves_with_paths = jax.tree_util.tree_leaves_with_path(params)
     n = len(leaves_with_paths)
@@ -71,7 +88,9 @@ def reference_init(params: Any, rng: jax.Array) -> Any:
                 continue
             key = key_of.get(sub_path)
             leaf = sub
-            if has_kernel and name == "kernel" and leaf.ndim >= 2:
+            if any(mk in sub_path for mk in _SKIP_MARKERS):
+                out[name] = leaf
+            elif has_kernel and name == "kernel" and leaf.ndim >= 2:
                 mask = (leaf != 0).astype(leaf.dtype)
                 # an ALL-zero kernel is an init choice (the ViL i/f gate
                 # Linears zero-init their weights, vision_lstm.py:341-348),
@@ -82,25 +101,25 @@ def reference_init(params: Any, rng: jax.Array) -> Any:
                 mask = jnp.where(jnp.any(mask > 0), mask,
                                  jnp.ones_like(mask))
                 fan_in = jnp.sum(mask.reshape(-1, leaf.shape[-1]), axis=0)
-                if leaf.ndim >= 3:
-                    std = _kaiming_std(fan_in)
-                else:
-                    # xavier over the full matrix fan (the reference's
-                    # nn.Linear layers are plain dense; its custom headwise
-                    # projections are not isinstance(nn.Linear) and keep
-                    # their own init — full-shape fan matches the layers
-                    # init_weights actually touches)
+                is_linear = (leaf.ndim == 2 and
+                             any(mk in sub_path for mk in _LINEAR_MARKERS))
+                if is_linear:
+                    # xavier over the full matrix fan (plain nn.Linear)
                     std = jnp.sqrt(2.0 / jnp.maximum(
                         fan_in + jnp.float32(leaf.shape[-1]), 1.0))
+                else:
+                    std = _kaiming_std(fan_in)
                 w = jax.random.normal(key, leaf.shape, jnp.float32) * std
                 out[name] = (w * mask).astype(leaf.dtype)
             elif has_kernel and name == "bias":
                 out[name] = jax.random.normal(
                     key, leaf.shape, jnp.float32).astype(leaf.dtype)
-            elif is_norm and name == "scale" and "BatchNorm" in path:
+            elif (is_norm and name == "scale"
+                  and ("BatchNorm" in path or "bn_" in path)):
                 out[name] = (1.0 + 0.02 * jax.random.normal(
                     key, leaf.shape, jnp.float32)).astype(leaf.dtype)
-            elif is_norm and name == "bias" and "BatchNorm" in path:
+            elif (is_norm and name == "bias"
+                  and ("BatchNorm" in path or "bn_" in path)):
                 out[name] = jnp.zeros_like(leaf)
             else:
                 out[name] = leaf
