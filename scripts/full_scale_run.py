@@ -117,6 +117,14 @@ def main():
     ap.add_argument("--out_root", default=RUNS,
                     help="artifact root (default runs/fullscale); point "
                          "elsewhere to smoke-test beside a live run")
+    ap.add_argument("--shape", type=int, nargs=3, default=None,
+                    help="synthetic volume D H W (default 160 224 160; "
+                         "must exceed --crop so random-crop has slack)")
+    ap.add_argument("--crop", type=int, nargs=3, default=None,
+                    help="training/eval crop D H W (default the reference "
+                         "protocol 128 192 128, train.py:121); smaller "
+                         "crops trade protocol fidelity for compile+step "
+                         "time when the compile cache is cold")
     args = ap.parse_args()
     runs = args.out_root
     os.makedirs(runs, exist_ok=True)
@@ -133,6 +141,10 @@ def main():
         n_valid = args.n_valid if args.n_valid is not None else 8
         pre_epochs, tr_epochs = args.pretrain_epochs, args.train_epochs
         disc_kernel = 4
+    if args.shape is not None:
+        shape = tuple(args.shape)
+    if args.crop is not None:
+        crop = tuple(args.crop)
 
     data_root = os.path.join(runs, "data")
     counts = ensure_dataset(data_root, n_train, n_valid, shape)
